@@ -96,6 +96,16 @@ def algebra_scale(lam: VIOAlgebra, c) -> VIOAlgebra:
     return VIOAlgebra(lam.u_beta * c, lam.U_A * c, lam.u_w * c, lam.U_B * c, lam.W * c)
 
 
+def algebra_add(a: VIOAlgebra, b: VIOAlgebra) -> VIOAlgebra:
+    return VIOAlgebra(
+        a.u_beta + b.u_beta, a.U_A + b.U_A, a.u_w + b.u_w, a.U_B + b.U_B, a.W + b.W
+    )
+
+
+def algebra_sub(a: VIOAlgebra, b: VIOAlgebra) -> VIOAlgebra:
+    return algebra_add(a, algebra_scale(b, -1.0))
+
+
 def group_exp(lam: VIOAlgebra) -> VIOGroup:
     """VIO group exponential; (A, w) via SE_2(3) (reference ``VIOGroup.cpp:273-290``)."""
     ext = se23_exp(
