@@ -1,0 +1,651 @@
+"""The EqF filter core: propagation, vision update, landmark lifecycle.
+
+TPU-native redesign of the reference filter
+(``src/mathematical/VIO_eqf.cpp`` + ``src/VIOFilter.cpp`` +
+``include/eqvio/VIOFilterSettings.h``): the filter state is a fixed-shape
+pytree, every step is a pure jittable function, and landmark add/remove are
+mask flips with covariance-row surgery instead of matrix resizes.
+
+Slot protocol: the feature tracker and the filter share slot indices.  A
+feature keeps its slot for its lifetime; slot reuse is detected by id
+mismatch.  This turns the reference's id-searching lifecycle
+(``VIOFilter.cpp:258-364``) into pure vectorised mask algebra.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .group import (
+    VIOGroup,
+    group_exp,
+    group_identity,
+    group_inv,
+    group_mul,
+    group_normalize,
+    lift_velocity,
+    lift_velocity_discrete,
+    algebra_scale,
+    state_action,
+)
+from .lie import SE3, se3_exp, so3_from_vectors, sot3_identity
+from .matrices import CoordinateSuite, get_suite, state_matrix_A_discrete
+from .states import (
+    IMU,
+    SENSOR_DIM,
+    VIOState,
+    integrate_system,
+    measure_system,
+    state_identity,
+)
+
+# ---------------------------------------------------------------------------
+# Settings (reference VIOFilterSettings.h:58-124)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Settings:
+    """EqF settings; a frozen dataclass so it can be closed over statically."""
+
+    # process (state gain) variances
+    bias_omega_process_var: float = 0.001
+    bias_accel_process_var: float = 0.001
+    attitude_process_var: float = 0.001
+    position_process_var: float = 0.001
+    velocity_process_var: float = 0.001
+    camera_attitude_process_var: float = 0.001
+    camera_position_process_var: float = 0.001
+    point_process_var: float = 0.001
+
+    # input (IMU) noise
+    vel_gyr_noise: float = 1e-4
+    vel_acc_noise: float = 1e-3
+    vel_gyr_bias_walk: float = 1e-5
+    vel_acc_bias_walk: float = 1e-3
+
+    # output (feature) noise and outlier gates
+    measurement_noise: float = 2.0
+    outlier_threshold_abs: float = 1e8
+    outlier_threshold_prob: float = 1e8
+    feature_retention: float = 0.3
+
+    # initial variances
+    initial_attitude_var: float = 1e-4
+    initial_position_var: float = 1e-4
+    initial_velocity_var: float = 1e-2
+    initial_camera_attitude_var: float = 1e-5
+    initial_camera_position_var: float = 1e-4
+    initial_point_var: float = 1.0
+    initial_point_depth_var: float = -1.0
+    initial_bias_omega_var: float = 0.1
+    initial_bias_accel_var: float = 0.1
+    initial_scene_depth: float = 1.0
+
+    # algorithm switches
+    use_discrete_innovation_lift: bool = True
+    use_discrete_velocity_lift: bool = True
+    use_discrete_state_matrix: bool = False
+    fast_riccati: bool = False
+    use_median_depth: bool = True
+    use_feature_predictions: bool = False
+    use_equivariant_output: bool = True
+    remove_lost_landmarks: bool = True
+    coordinate_choice: str = "euclid"
+
+    # initial camera offset as an se(3) tangent? No: (qw,qx,qy,qz, x,y,z) quat+pos
+    camera_offset_quat: tuple = (1.0, 0.0, 0.0, 0.0)
+    camera_offset_pos: tuple = (0.0, 0.0, 0.0)
+
+    @property
+    def suite(self) -> CoordinateSuite:
+        return get_suite(self.coordinate_choice)
+
+    def camera_offset_se3(self, dtype=jnp.float64) -> SE3:
+        w, x, y, z = self.camera_offset_quat
+        n = (w * w + x * x + y * y + z * z) ** 0.5
+        w, x, y, z = w / n, x / n, y / n, z / n
+        R = jnp.asarray(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+            ],
+            dtype=dtype,
+        )
+        return SE3(R, jnp.asarray(self.camera_offset_pos, dtype=dtype))
+
+    # --- gain matrix builders (reference VIOFilterSettings.h:176-229) ---
+
+    def initial_sensor_cov_diag(self, dtype=jnp.float64) -> jnp.ndarray:
+        vals = (
+            [self.initial_bias_omega_var] * 3
+            + [self.initial_bias_accel_var] * 3
+            + [self.initial_attitude_var] * 3
+            + [self.initial_position_var] * 3
+            + [self.initial_velocity_var] * 3
+            + [self.initial_camera_attitude_var] * 3
+            + [self.initial_camera_position_var] * 3
+        )
+        return jnp.asarray(vals, dtype=dtype)
+
+    def initial_point_cov_diag(self, dtype=jnp.float64) -> jnp.ndarray:
+        d = [self.initial_point_var] * 3
+        if self.initial_point_depth_var > 0:
+            d[2] = self.initial_point_depth_var
+        return jnp.asarray(d, dtype=dtype)
+
+    def state_gain_diag(self, capacity: int, dtype=jnp.float64) -> jnp.ndarray:
+        vals = (
+            [self.bias_omega_process_var] * 3
+            + [self.bias_accel_process_var] * 3
+            + [self.attitude_process_var] * 3
+            + [self.position_process_var] * 3
+            + [self.velocity_process_var] * 3
+            + [self.camera_attitude_process_var] * 3
+            + [self.camera_position_process_var] * 3
+            + [self.point_process_var] * 3 * capacity
+        )
+        return jnp.asarray(vals, dtype=dtype)
+
+    def input_gain_diag(self, dtype=jnp.float64) -> jnp.ndarray:
+        vals = (
+            [self.vel_gyr_noise**2] * 3
+            + [self.vel_acc_noise**2] * 3
+            + [self.vel_gyr_bias_walk**2] * 3
+            + [self.vel_acc_bias_walk**2] * 3
+        )
+        return jnp.asarray(vals, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Filter state
+# ---------------------------------------------------------------------------
+
+
+class EqFState(NamedTuple):
+    """Complete EqF filter state (reference ``VIO_eqf.h:36-42``)."""
+
+    xi0: VIOState  # fixed origin configuration
+    X: VIOGroup  # observer group element
+    Sigma: jnp.ndarray  # [D, D] Riccati matrix
+    t: jnp.ndarray  # current filter time
+
+
+def _mask_vec(xi0: VIOState) -> jnp.ndarray:
+    """[D] vector: 1 on sensor + active landmark coords, 0 on inactive slots."""
+    m = jnp.repeat(xi0.mask.astype(xi0.landmarks.dtype), 3)
+    return jnp.concatenate([jnp.ones((SENSOR_DIM,), dtype=xi0.landmarks.dtype), m])
+
+
+def sanitize_sigma(Sigma: jnp.ndarray, xi0: VIOState, settings: Settings) -> jnp.ndarray:
+    """Zero inactive rows/cols and reset their diagonal to the initial point
+    variance so padding slots stay decoupled and well-conditioned."""
+    mv = _mask_vec(xi0)
+    Sigma = Sigma * mv[:, None] * mv[None, :]
+    pad_diag = (1.0 - mv) * settings.initial_point_var
+    return Sigma + jnp.diag(pad_diag)
+
+
+def init_state(settings: Settings, capacity: int, dtype=jnp.float64) -> EqFState:
+    """Initial filter state (reference VIOFilter ctor, ``VIOFilter.cpp:31-41``)."""
+    xi0 = state_identity(capacity, dtype)
+    xi0 = xi0._replace(
+        sensor=xi0.sensor._replace(camera_offset=settings.camera_offset_se3(dtype))
+    )
+    D = SENSOR_DIM + 3 * capacity
+    diag = jnp.concatenate(
+        [
+            settings.initial_sensor_cov_diag(dtype),
+            jnp.tile(settings.initial_point_cov_diag(dtype), capacity),
+        ]
+    )
+    Sigma = jnp.diag(diag)
+    return EqFState(
+        xi0=xi0,
+        X=group_identity(capacity, dtype),
+        Sigma=Sigma,
+        t=jnp.asarray(-1.0, dtype=dtype),
+    )
+
+
+def initialize_attitude_from_imu(state: EqFState, imu: IMU) -> EqFState:
+    """Gravity-aligned attitude init (reference ``VIOFilter.cpp:65-78``)."""
+    acc_dir = imu.acc / jnp.clip(jnp.linalg.norm(imu.acc, axis=-1, keepdims=True), 1e-9, None)
+    e3 = jnp.zeros_like(acc_dir).at[..., 2].set(1.0)
+    R0 = so3_from_vectors(acc_dir, e3)
+    xi0 = state.xi0._replace(
+        sensor=state.xi0.sensor._replace(pose=SE3(R0, state.xi0.sensor.pose.x))
+    )
+    return state._replace(xi0=xi0, t=imu.stamp.astype(state.t.dtype))
+
+
+def state_estimate(state: EqFState) -> VIOState:
+    """phi_X(xi0) (reference ``VIO_eqf.cpp:137``)."""
+    return state_action(state.X, state.xi0)
+
+
+# ---------------------------------------------------------------------------
+# Propagation (reference VIO_eqf.cpp:47-103, VIOFilter.cpp:134-192)
+# ---------------------------------------------------------------------------
+
+
+def integrate_observer(state: EqFState, imu: IMU, dt, settings: Settings) -> EqFState:
+    xi_hat = state_estimate(state)
+    if settings.use_discrete_velocity_lift:
+        lifted = lift_velocity_discrete(xi_hat, imu, dt)
+    else:
+        lifted = group_exp(algebra_scale(lift_velocity(xi_hat, imu), dt))
+    # re-orthogonalise: matrix products otherwise feed non-orthogonality back
+    # through the camera-offset conjugation with geometric growth
+    return state._replace(X=group_normalize(group_mul(state.X, lifted)))
+
+
+def integrate_riccati_fast(
+    state: EqFState, imu: IMU, dt, settings: Settings, suite: CoordinateSuite
+) -> EqFState:
+    """Euler Riccati step (reference ``VIO_eqf.cpp:62-72``)."""
+    D = state.xi0.dim()
+    dtype = state.Sigma.dtype
+    A0t = suite.state_matrix_A(state.X, state.xi0, imu)
+    Bt = suite.input_matrix_B(state.X, state.xi0)
+    A_exp = jnp.eye(D, dtype=dtype) + dt * A0t
+    Q_in = Bt * settings.input_gain_diag(dtype)[None, :] @ Bt.T
+    P = jnp.diag(settings.state_gain_diag(state.xi0.capacity, dtype)) * _mask_outer(state.xi0)
+    Sigma = A_exp @ state.Sigma @ A_exp.T + dt * (Q_in + P)
+    Sigma = 0.5 * (Sigma + Sigma.T)
+    return state._replace(Sigma=sanitize_sigma(Sigma, state.xi0, settings))
+
+
+def _mask_outer(xi0: VIOState) -> jnp.ndarray:
+    mv = _mask_vec(xi0)
+    return mv[:, None] * mv[None, :]
+
+
+def integrate_riccati_accurate(
+    state: EqFState, imu: IMU, dt, settings: Settings, suite: CoordinateSuite
+) -> EqFState:
+    """Matrix-exponential Riccati step (reference ``VIO_eqf.cpp:74-91``).
+
+    Uses scaling-and-squaring expm of the stacked [A B; 0 0] system.
+    """
+    D = state.xi0.dim()
+    dtype = state.Sigma.dtype
+    A0t = suite.state_matrix_A(state.X, state.xi0, imu)
+    Bt = suite.input_matrix_B(state.X, state.xi0)
+    AB = jnp.zeros((D + 12, D + 12), dtype=dtype)
+    AB = AB.at[:D, :D].set(A0t)
+    AB = AB.at[:D, D:].set(Bt)
+    ABexp = jax.scipy.linalg.expm(dt * AB)
+    A_exp = ABexp[:D, :D]
+    B_exp = ABexp[:D, D:]
+    Q_in = B_exp * (settings.input_gain_diag(dtype) / dt)[None, :] @ B_exp.T
+    P = jnp.diag(settings.state_gain_diag(state.xi0.capacity, dtype)) * _mask_outer(state.xi0)
+    Sigma = A_exp @ state.Sigma @ A_exp.T + Q_in + dt * P
+    Sigma = 0.5 * (Sigma + Sigma.T)
+    return state._replace(Sigma=sanitize_sigma(Sigma, state.xi0, settings))
+
+
+def integrate_riccati_discrete(
+    state: EqFState, imu: IMU, dt, settings: Settings, suite: CoordinateSuite
+) -> EqFState:
+    """Discrete-transition Riccati step (reference ``VIO_eqf.cpp:93-103``)."""
+    dtype = state.Sigma.dtype
+    A_d = state_matrix_A_discrete(suite, state.X, state.xi0, imu, dt)
+    Bt = suite.input_matrix_B(state.X, state.xi0)
+    Q_in = Bt * settings.input_gain_diag(dtype)[None, :] @ Bt.T
+    P = jnp.diag(settings.state_gain_diag(state.xi0.capacity, dtype)) * _mask_outer(state.xi0)
+    Sigma = A_d @ state.Sigma @ A_d.T + dt * (Q_in + P)
+    Sigma = 0.5 * (Sigma + Sigma.T)
+    return state._replace(Sigma=sanitize_sigma(Sigma, state.xi0, settings))
+
+
+def propagate(
+    state: EqFState, imu: IMU, dt, settings: Settings, suite: CoordinateSuite | None = None
+) -> EqFState:
+    """One IMU step: Riccati + observer (reference ``VIOFilter.cpp:160-178``).
+
+    A ``dt == 0`` step is an exact no-op, so zero-padded IMU windows scan
+    cleanly under jit.
+    """
+    if suite is None:
+        suite = settings.suite
+    if settings.use_discrete_state_matrix:
+        state = integrate_riccati_discrete(state, imu, dt, settings, suite)
+    else:
+        state = integrate_riccati_fast(state, imu, dt, settings, suite)
+    state = integrate_observer(state, imu, dt, settings)
+    return state._replace(t=jnp.maximum(state.t, imu.stamp.astype(state.t.dtype)))
+
+
+def propagate_window(
+    state: EqFState,
+    imu_window: IMU,
+    dts: jnp.ndarray,
+    settings: Settings,
+    suite: CoordinateSuite | None = None,
+) -> EqFState:
+    """Propagate over a padded IMU window [K] with per-sample dt via lax.scan.
+
+    Replaces the reference's velocity-buffer loop (``VIOFilter.cpp:160-178``).
+    With ``fast_riccati`` the Riccati step runs once on the time-weighted mean
+    IMU (``VIOFilter.cpp:140-157``); otherwise per sample.
+    """
+    if suite is None:
+        suite = settings.suite
+
+    if settings.fast_riccati:
+        total = jnp.clip(jnp.sum(dts), 1e-9, None)
+        weight = (dts / total)[:, None]
+        mean_imu = IMU(
+            stamp=jnp.max(imu_window.stamp),
+            gyr=jnp.sum(imu_window.gyr * weight, axis=0),
+            acc=jnp.sum(imu_window.acc * weight, axis=0),
+            gyr_bias_vel=jnp.sum(imu_window.gyr_bias_vel * weight, axis=0),
+            acc_bias_vel=jnp.sum(imu_window.acc_bias_vel * weight, axis=0),
+        )
+        state = integrate_riccati_fast(state, mean_imu, total, settings, suite)
+
+        def body(s, inp):
+            imu_i, dt_i = inp
+            s = integrate_observer(s, imu_i, dt_i, settings)
+            return s, None
+
+        state, _ = jax.lax.scan(body, state, (imu_window, dts))
+    else:
+
+        def body(s, inp):
+            imu_i, dt_i = inp
+            s = propagate(s, imu_i, dt_i, settings, suite)
+            return s, None
+
+        state, _ = jax.lax.scan(body, state, (imu_window, dts))
+
+    # padded entries must repeat the last real sample with dt = 0, so the max
+    # stamp is the true new filter time
+    new_t = jnp.maximum(state.t, jnp.max(imu_window.stamp).astype(state.t.dtype))
+    return state._replace(t=new_t)
+
+
+# ---------------------------------------------------------------------------
+# Vision update (reference VIO_eqf.cpp:105-135)
+# ---------------------------------------------------------------------------
+
+
+def update_vision(
+    state: EqFState,
+    pixels: jnp.ndarray,  # [N, 2] slot-aligned measurements
+    vis_mask: jnp.ndarray,  # [N] bool
+    camera,
+    settings: Settings,
+    suite: CoordinateSuite | None = None,
+) -> EqFState:
+    """Masked EqF Kalman update with the block-structured C matrix.
+
+    ``C`` has one 2x3 block per landmark (sensor columns are zero, reference
+    ``EqFMatrices.cpp:43-82``), so ``C Sigma C^T`` and ``Sigma C^T`` reduce to
+    einsums over the landmark axis — MXU-friendly and O(N^2) not O(D^2).
+    """
+    if suite is None:
+        suite = settings.suite
+    xi0, X, Sigma = state.xi0, state.X, state.Sigma
+    N = xi0.capacity
+    D = xi0.dim()
+    dtype = Sigma.dtype
+
+    active = (xi0.mask & vis_mask).astype(dtype)  # [N]
+    xi_hat = state_action(X, xi0)
+    y_hat, _ = measure_system(xi_hat, camera)
+    resid = (pixels - y_hat) * active[:, None]  # [N,2]
+
+    if settings.use_equivariant_output:
+        C = suite.output_Ci_star(xi0.landmarks, X.Q, camera, pixels)  # [N,2,3]
+    else:
+        C = suite.output_Ci(xi0.landmarks, X.Q, camera)
+    C = C * active[:, None, None]
+
+    Sig_lm = Sigma[SENSOR_DIM:, SENSOR_DIM:].reshape(N, 3, N, 3)
+    S = jnp.einsum("iax,ixjy,jby->iajb", C, Sig_lm, C).reshape(2 * N, 2 * N)
+    r_diag = jnp.where(
+        jnp.repeat(active, 2) > 0, settings.measurement_noise**2, 1.0
+    ).astype(dtype)
+    S = S + jnp.diag(r_diag)
+
+    SigCt = jnp.einsum("djy,jby->djb", Sigma[:, SENSOR_DIM:].reshape(D, N, 3), C).reshape(
+        D, 2 * N
+    )
+
+    chol = jax.scipy.linalg.cho_factor(S, lower=True)
+    K = jax.scipy.linalg.cho_solve(chol, SigCt.T).T  # [D, 2N]
+
+    Gamma = K @ resid.reshape(-1)
+
+    if settings.use_discrete_innovation_lift:
+        Delta = suite.lift_innovation_discrete(Gamma, xi0)
+    else:
+        Delta = group_exp(suite.lift_innovation(Gamma, xi0))
+
+    X_new = group_normalize(group_mul(Delta, X))
+    Sigma_new = Sigma - K @ SigCt.T
+    Sigma_new = 0.5 * (Sigma_new + Sigma_new.T)
+    Sigma_new = sanitize_sigma(Sigma_new, xi0, settings)
+    return state._replace(X=X_new, Sigma=Sigma_new)
+
+
+# ---------------------------------------------------------------------------
+# Landmark lifecycle (reference VIO_eqf.cpp:172-245, VIOFilter.cpp:258-364)
+# ---------------------------------------------------------------------------
+
+
+def remove_landmarks(state: EqFState, rm_mask: jnp.ndarray, settings: Settings) -> EqFState:
+    """Deactivate slots: mask off, reset Q to identity, dummy origin point,
+    zero Sigma rows/cols (reference removeLandmarkByIndex ``VIO_eqf.cpp:172-178``)."""
+    keep = state.xi0.mask & ~rm_mask
+    dtype = state.xi0.landmarks.dtype
+    dummy = jnp.asarray([0.0, 0.0, 1.0], dtype=dtype)
+    landmarks = jnp.where(keep[:, None], state.xi0.landmarks, dummy)
+    ids = jnp.where(keep, state.xi0.ids, -1)
+    xi0 = state.xi0._replace(landmarks=landmarks, ids=ids, mask=keep)
+    eyeN = jnp.broadcast_to(jnp.eye(3, dtype=dtype), state.X.Q.R.shape)
+    Q = state.X.Q._replace(
+        R=jnp.where(keep[:, None, None], state.X.Q.R, eyeN),
+        a=jnp.where(keep, state.X.Q.a, 1.0),
+    )
+    X = state.X._replace(Q=Q)
+    Sigma = sanitize_sigma(state.Sigma, xi0, settings)
+    return state._replace(xi0=xi0, X=X, Sigma=Sigma)
+
+
+def remove_invalid_landmarks(state: EqFState, settings: Settings) -> EqFState:
+    """Prune landmarks whose scale left [1e-8, 1e8] (reference ``VIO_eqf.cpp:213-223``)."""
+    bad = (state.X.Q.a <= 1e-8) | (state.X.Q.a > 1e8)
+    return remove_landmarks(state, bad & state.xi0.mask, settings)
+
+
+def median_scene_depth(state: EqFState, settings: Settings) -> jnp.ndarray:
+    """Masked median depth of the current estimate (reference ``VIOFilter.cpp:366-380``)."""
+    xi_hat = state_estimate(state)
+    d2 = jnp.sum(xi_hat.landmarks**2, axis=-1)
+    big = jnp.asarray(1e30, dtype=d2.dtype)
+    d2_sorted = jnp.sort(jnp.where(xi_hat.mask, d2, big))
+    n_active = jnp.sum(xi_hat.mask)
+    idx = jnp.clip(n_active // 2, 0, xi_hat.capacity - 1)
+    med = jnp.sqrt(d2_sorted[idx])
+    return jnp.where(n_active > 0, med, settings.initial_scene_depth)
+
+
+def add_landmarks(
+    state: EqFState,
+    pixels: jnp.ndarray,  # [N,2]
+    new_mask: jnp.ndarray,  # [N] slots to initialise
+    new_ids: jnp.ndarray,  # [N]
+    camera,
+    settings: Settings,
+) -> EqFState:
+    """Initialise new landmark slots from undistorted bearings at the median
+    scene depth (reference ``VIOFilter.cpp:258-278``, ``VIO_eqf.cpp:225-245``).
+
+    New landmarks enter at the *current estimate*, i.e. the origin landmark is
+    chosen so that phi_X(q0) = depth * bearing with Q_slot = identity.
+    """
+    dtype = state.xi0.landmarks.dtype
+    depth = (
+        median_scene_depth(state, settings)
+        if settings.use_median_depth
+        else jnp.asarray(settings.initial_scene_depth, dtype=dtype)
+    )
+    bearings = camera.undistort(pixels)  # [N,3]
+    q_new = bearings * depth
+    # Q slot must be identity; since phi acts by Q^{-1}, set xi0 landmark = q_new
+    landmarks = jnp.where(new_mask[:, None], q_new, state.xi0.landmarks)
+    ids = jnp.where(new_mask, new_ids, state.xi0.ids)
+    mask = state.xi0.mask | new_mask
+    xi0 = state.xi0._replace(landmarks=landmarks, ids=ids, mask=mask)
+
+    eyeN = jnp.broadcast_to(jnp.eye(3, dtype=dtype), state.X.Q.R.shape)
+    Q = state.X.Q._replace(
+        R=jnp.where(new_mask[:, None, None], eyeN, state.X.Q.R),
+        a=jnp.where(new_mask, 1.0, state.X.Q.a),
+    )
+    X = state.X._replace(Q=Q)
+
+    # Sigma: zero new rows/cols, initial point variance on the diagonal
+    mv_new = jnp.repeat(new_mask.astype(dtype), 3)
+    full_new = jnp.concatenate([jnp.zeros((SENSOR_DIM,), dtype=dtype), mv_new])
+    keep = 1.0 - full_new
+    Sigma = state.Sigma * keep[:, None] * keep[None, :]
+    pdiag_full = jnp.concatenate(
+        [
+            jnp.zeros((SENSOR_DIM,), dtype=dtype),
+            jnp.tile(settings.initial_point_cov_diag(dtype), state.xi0.capacity),
+        ]
+    )
+    Sigma = Sigma + jnp.diag(full_new * pdiag_full)
+    return state._replace(xi0=xi0, X=X, Sigma=Sigma)
+
+
+def outlier_mask(
+    state: EqFState,
+    pixels: jnp.ndarray,
+    vis_mask: jnp.ndarray,
+    camera,
+    settings: Settings,
+    suite: CoordinateSuite | None = None,
+) -> jnp.ndarray:
+    """Two-stage ranked outlier rejection (reference ``VIOFilter.cpp:304-364``).
+
+    Absolute-pixel-error outliers rank above Mahalanobis outliers; at most
+    ``(1 - feature_retention) * M`` features are discarded.
+    """
+    if suite is None:
+        suite = settings.suite
+    xi0, X, Sigma = state.xi0, state.X, state.Sigma
+    N = xi0.capacity
+    dtype = Sigma.dtype
+    tracked = xi0.mask & vis_mask
+
+    xi_hat = state_estimate(state)
+    y_hat, _ = measure_system(xi_hat, camera)
+    resid = pixels - y_hat  # [N,2]
+    err_abs = jnp.linalg.norm(resid, axis=-1)
+    abs_out = tracked & (err_abs > settings.outlier_threshold_abs)
+
+    # Mahalanobis gate with the marginal output covariance (VIO_eqf.cpp:196-211)
+    C0 = suite.output_Ci(xi0.landmarks, X.Q, camera)  # [N,2,3]
+    lm_cov = Sigma[SENSOR_DIM:, SENSOR_DIM:].reshape(N, 3, N, 3)
+    idx = jnp.arange(N)
+    lm_diag = lm_cov[idx, :, idx, :]  # [N,3,3]
+    out_cov = C0 @ lm_diag @ jnp.swapaxes(C0, -1, -2)  # [N,2,2]
+    out_cov = out_cov + jnp.eye(2, dtype=dtype) * 1e-12
+    sol = jnp.linalg.solve(out_cov, resid[..., None])[..., 0]
+    err_prob = jnp.sum(resid * sol, axis=-1)
+    prob_out = tracked & ~abs_out & (err_prob > settings.outlier_threshold_prob)
+
+    proposed = abs_out | prob_out
+    # ranking score: absolute outliers dominate, larger error first
+    score = jnp.where(
+        abs_out, 1e12 + err_abs, jnp.where(prob_out, err_prob, -jnp.inf)
+    )
+    order = jnp.argsort(-score)
+    rank = jnp.argsort(order)  # rank[i] = position of slot i in descending order
+    m_meas = jnp.sum(tracked)
+    max_outliers = jnp.floor((1.0 - settings.feature_retention) * m_meas).astype(rank.dtype)
+    return proposed & (rank < max_outliers)
+
+
+def process_vision(
+    state: EqFState,
+    pixels: jnp.ndarray,  # [N,2]
+    vis_mask: jnp.ndarray,  # [N] bool
+    ids: jnp.ndarray,  # [N] tracker slot ids
+    camera,
+    settings: Settings,
+    suite: CoordinateSuite | None = None,
+) -> EqFState:
+    """Full per-frame vision pipeline (reference ``VIOFilter.cpp:194-241``):
+    remove lost -> outlier rejection -> add new -> EqF update -> prune invalid."""
+    if suite is None:
+        suite = settings.suite
+
+    # slot-id agreement: a reused slot with a different id is lost + new
+    same_id = state.xi0.ids == ids
+    if settings.remove_lost_landmarks:
+        lost = state.xi0.mask & (~vis_mask | ~same_id)
+        state = remove_landmarks(state, lost, settings)
+
+    out = outlier_mask(state, pixels, vis_mask, camera, settings, suite)
+    state = remove_landmarks(state, out, settings)
+    vis_mask = vis_mask & ~out
+
+    new = vis_mask & ~state.xi0.mask
+    state = add_landmarks(state, pixels, new, ids, camera, settings)
+
+    state = update_vision(state, pixels, vis_mask, camera, settings, suite)
+    state = remove_invalid_landmarks(state, settings)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Consistency metrics (reference VIO_eqf.cpp:153-170)
+# ---------------------------------------------------------------------------
+
+
+def compute_nees(
+    state: EqFState, true_state: VIOState, suite: CoordinateSuite | None = None,
+    settings: Settings | None = None,
+) -> jnp.ndarray:
+    """Normalised estimation error squared against a slot-aligned true state.
+
+    ``true_state`` must carry the true landmark positions in the same slots as
+    the filter (the simulator provides this alignment).
+    """
+    if suite is None:
+        suite = (settings or Settings()).suite
+    err_state = state_action(group_inv(state.X), true_state)
+    eps = suite.chart.chart(err_state, state.xi0)
+    mv = _mask_vec(state.xi0)
+    eps = eps * mv
+    # masked Sigma is block diagonal w.r.t. inactive slots (diag = const), so
+    # solving on the full matrix is exact for the active subspace
+    sol = jnp.linalg.solve(state.Sigma, eps)
+    nees = jnp.sum(eps * sol)
+    dim = SENSOR_DIM + 3 * jnp.sum(state.xi0.mask)
+    return nees / dim
+
+
+def predict_state(
+    state: EqFState, stamp, imu_window: IMU, dts: jnp.ndarray
+) -> VIOState:
+    """Forward-predict the state estimate over buffered IMU (``VIO_eqf.cpp:139-151``)."""
+    xi = state_estimate(state)
+
+    def body(x, inp):
+        imu_i, dt_i = inp
+        return integrate_system(x, imu_i, dt_i), None
+
+    xi, _ = jax.lax.scan(body, xi, (imu_window, dts))
+    return xi

@@ -238,6 +238,24 @@ def lift_velocity_discrete(state: VIOState, imu: IMU, dt) -> VIOGroup:
     return VIOGroup(beta=beta, A=A, w=w, B=B, Q=SOT3(Q_R, Q_a))
 
 
+def group_normalize(x: VIOGroup) -> VIOGroup:
+    """Project all rotation blocks back onto SO(3).
+
+    Called after group compositions in the filter loop to stop geometric
+    growth of matrix non-orthogonality through the camera-offset conjugation
+    feedback (see :func:`eqvio_tpu.lie.so3_project`).
+    """
+    from .lie import so3_project
+
+    return VIOGroup(
+        beta=x.beta,
+        A=SE3(so3_project(x.A.R), x.A.x),
+        w=x.w,
+        B=SE3(so3_project(x.B.R), x.B.x),
+        Q=SOT3(so3_project(x.Q.R), x.Q.a),
+    )
+
+
 def group_has_nan(x: VIOGroup) -> jnp.ndarray:
     """NaN detector (reference ``VIOGroup.cpp:122-130``), returns a scalar bool array."""
     flags = [

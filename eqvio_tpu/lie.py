@@ -138,6 +138,19 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def so3_project(R: jnp.ndarray) -> jnp.ndarray:
+    """Re-orthogonalise a near-rotation by one Newton step: R(3I - R^T R)/2.
+
+    Matrix products accumulate non-orthogonality at machine epsilon per
+    composition; in feedback chains (e.g. conjugation by an estimated frame)
+    the error grows geometrically.  LiePP avoids this by storing quaternions;
+    we store matrices and project after compositions.  One Newton step maps an
+    eps-non-orthogonal matrix to eps^2.
+    """
+    RtR = jnp.swapaxes(R, -1, -2) @ R
+    return R @ (1.5 * jnp.eye(3, dtype=R.dtype) - 0.5 * RtR)
+
+
 def so3_from_vectors(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Rotation taking unit-ish vector ``a`` to ``b`` (LiePP ``SO3FromVectors``).
 

@@ -1,0 +1,266 @@
+"""End-to-end simulation runner: the ``eqvio_sim`` equivalent.
+
+Mirrors the reference's pure-simulation entry point (``src/main_sim.cpp:37-192``)
+but as a single jitted ``lax.scan`` over frames: IMU propagation windows,
+feature selection, slot tracking, landmark augmentation from the true state,
+the EqF vision update, and NEES all execute on-device with no per-frame host
+round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import filter as F
+from .camera import PinholeCamera
+from .sim import Simulator, SlotTrackerState, gather_slots, slot_tracker_init, slot_tracker_step
+from .states import IMU, VIOState
+from .lie import SE3
+
+
+def build_imu_windows(imu_times: np.ndarray, frame_times: np.ndarray, t_start: float):
+    """Per-frame padded IMU application windows.
+
+    Implements the reference's buffered-velocity semantics
+    (``VIOFilter.cpp:160-178``): sample ``j`` applies from
+    ``max(stamp_j, t_prev)`` to ``min(stamp_{j+1}, t_frame)``.
+    Returns ``(sample_idx [T, K], dts [T, K])`` with zero-dt padding.
+    """
+    T = len(frame_times)
+    idx_windows = []
+    dt_windows = []
+    prev = t_start
+    ext = np.append(imu_times, np.inf)
+    for ti in frame_times:
+        j0 = np.searchsorted(imu_times, prev, side="right") - 1
+        j0 = max(j0, 0)
+        j1 = np.searchsorted(imu_times, ti, side="left")
+        js = np.arange(j0, max(j1, j0 + 1))
+        dts = np.minimum(ext[js + 1], ti) - np.maximum(imu_times[js], prev)
+        dts = np.clip(dts, 0.0, None)
+        idx_windows.append(js)
+        dt_windows.append(dts)
+        prev = ti
+    K = max(len(w) for w in idx_windows)
+    idx = np.zeros((T, K), dtype=np.int64)
+    dts = np.zeros((T, K), dtype=np.float64)
+    for i, (js, dw) in enumerate(zip(idx_windows, dt_windows)):
+        idx[i, : len(js)] = js
+        idx[i, len(js) :] = js[-1]  # repeat last sample with dt 0
+        dts[i, : len(dw)] = dw
+    return idx, dts
+
+
+class SimRunResult(NamedTuple):
+    times: jnp.ndarray  # [T]
+    est_position: jnp.ndarray  # [T, 3]
+    est_attitude: jnp.ndarray  # [T, 3, 3]
+    est_velocity: jnp.ndarray  # [T, 3]
+    true_position: jnp.ndarray  # [T, 3]
+    true_attitude: jnp.ndarray  # [T, 3, 3]
+    true_velocity: jnp.ndarray  # [T, 3]
+    nees: jnp.ndarray  # [T]
+    num_landmarks: jnp.ndarray  # [T]
+
+
+def default_sim_camera(dtype=jnp.float64) -> PinholeCamera:
+    """EuRoC-like pinhole camera (reference SimulationDataServer.cpp:162-176)."""
+    return PinholeCamera.create(458.654, 457.296, 367.215, 248.375, 752, 480, dtype=dtype)
+
+
+def run_simulation(
+    settings: F.Settings,
+    capacity: int = 32,
+    max_features: int = 30,
+    end_time: float = 30.0,
+    imu_freq: float = 200.0,
+    frame_freq: float = 20.0,
+    kind: str = "wave",
+    seed: int = 0,
+    num_walls: int = 4,
+    num_points: int = 1000,
+    augment_true_landmarks: bool = True,
+    dtype=jnp.float64,
+    sim: Simulator | None = None,
+    camera: PinholeCamera | None = None,
+) -> SimRunResult:
+    """Run the full simulated VIO pipeline and return trajectories + NEES."""
+    if sim is None:
+        sim = Simulator.create(
+            kind=kind,
+            end_time=end_time + 1.0,
+            seed=seed,
+            num_walls=num_walls,
+            num_points=num_points,
+            dtype=dtype,
+        )
+    if camera is None:
+        camera = default_sim_camera(dtype)
+    suite = settings.suite
+
+    t0 = 0.2
+    imu_times = np.arange(t0, end_time, 1.0 / imu_freq)
+    frame_times = np.arange(t0 + 1.0 / frame_freq, end_time, 1.0 / frame_freq)
+    idx_np, dts_np = build_imu_windows(imu_times, frame_times, t0)
+
+    imu_all = sim.get_imu_batch(jnp.asarray(imu_times, dtype=dtype))
+    idx = jnp.asarray(idx_np)
+    dts = jnp.asarray(dts_np, dtype=dtype)
+    ftimes = jnp.asarray(frame_times, dtype=dtype)
+
+    # exact-state initialisation (reference main_sim.cpp:103, VIOFilter.cpp:43-56)
+    true0 = sim.full_state(jnp.asarray(t0, dtype=dtype))
+    state = F.init_state(settings, capacity, dtype)
+    xi0 = state.xi0._replace(
+        sensor=true0.sensor._replace(camera_offset=sim.camera_offset)
+    )
+    state = state._replace(xi0=xi0, t=jnp.asarray(t0, dtype=dtype))
+
+    tracker = slot_tracker_init(capacity)
+
+    def frame_step(carry, inputs):
+        state, tracker = carry
+        t_frame, widx, wdts = inputs
+
+        imu_win = jax.tree.map(lambda a: a[widx], imu_all)
+        state = F.propagate_window(state, imu_win, wdts, settings, suite)
+
+        cam_pts, selected = sim.get_vision(t_frame, camera, max_features)
+        tracker = slot_tracker_step(tracker, selected)
+        pixels, vis, ids, true_pts = gather_slots(cam_pts, tracker, camera)
+
+        if augment_true_landmarks:
+            # main_sim path: lost landmarks removed, new landmarks initialised
+            # at their TRUE positions (reference VIOFilter::augmentLandmarkStates,
+            # VIOFilter.cpp:112-132)
+            same = state.xi0.ids == ids
+            lost = state.xi0.mask & (~vis | ~same)
+            state = F.remove_landmarks(state, lost, settings)
+            new = vis & ~state.xi0.mask
+            # add at true position: xi0 landmark q0 chosen so phi_X(q0)=true
+            state = _augment_true(state, new, ids, true_pts, settings)
+            state = F.update_vision(state, pixels, vis, camera, settings, suite)
+            state = F.remove_invalid_landmarks(state, settings)
+        else:
+            state = F.process_vision(state, pixels, vis, ids, camera, settings, suite)
+
+        # consistency against the true state, slot-aligned
+        true_full = sim.full_state(t_frame)
+        true_slots = _slot_true_state(true_full, state.xi0, capacity)
+        nees = F.compute_nees(state, true_slots, suite, settings)
+
+        est = F.state_estimate(state)
+        out = (
+            est.sensor.pose.x,
+            est.sensor.pose.R,
+            est.sensor.velocity,
+            true_full.sensor.pose.x,
+            true_full.sensor.pose.R,
+            true_full.sensor.velocity,
+            nees,
+            jnp.sum(state.xi0.mask),
+        )
+        return (state, tracker), out
+
+    (state, tracker), outs = jax.lax.scan(
+        frame_step, (state, tracker), (ftimes, idx, dts)
+    )
+    return SimRunResult(ftimes, *outs)
+
+
+def _augment_true(state: F.EqFState, new_mask, ids, true_pts, settings: F.Settings):
+    """Insert new landmarks at their true camera-frame positions.
+
+    The filter estimate is phi_X(xi0); for a new slot Q = identity so the
+    origin landmark must equal the true point.
+    """
+    dtype = state.xi0.landmarks.dtype
+    landmarks = jnp.where(new_mask[:, None], true_pts, state.xi0.landmarks)
+    ids_new = jnp.where(new_mask, ids, state.xi0.ids)
+    mask = state.xi0.mask | new_mask
+    xi0 = state.xi0._replace(landmarks=landmarks, ids=ids_new, mask=mask)
+
+    eyeN = jnp.broadcast_to(jnp.eye(3, dtype=dtype), state.X.Q.R.shape)
+    Q = state.X.Q._replace(
+        R=jnp.where(new_mask[:, None, None], eyeN, state.X.Q.R),
+        a=jnp.where(new_mask, 1.0, state.X.Q.a),
+    )
+    X = state.X._replace(Q=Q)
+
+    mv_new = jnp.repeat(new_mask.astype(dtype), 3)
+    full_new = jnp.concatenate([jnp.zeros((F.SENSOR_DIM,), dtype=dtype), mv_new])
+    keep = 1.0 - full_new
+    Sigma = state.Sigma * keep[:, None] * keep[None, :]
+    pdiag_full = jnp.concatenate(
+        [
+            jnp.zeros((F.SENSOR_DIM,), dtype=dtype),
+            jnp.tile(settings.initial_point_cov_diag(dtype), state.xi0.capacity),
+        ]
+    )
+    Sigma = Sigma + jnp.diag(full_new * pdiag_full)
+    return state._replace(xi0=xi0, X=X, Sigma=Sigma)
+
+
+def _slot_true_state(true_full: VIOState, xi0: VIOState, capacity: int) -> VIOState:
+    """Gather the true landmarks into the filter's slots by id."""
+    P = true_full.landmarks.shape[0]
+    safe = jnp.clip(xi0.ids, 0, P - 1)
+    pts = true_full.landmarks[safe]
+    dummy = jnp.asarray([0.0, 0.0, 1.0], dtype=pts.dtype)
+    pts = jnp.where(xi0.mask[:, None], pts, dummy)
+    return VIOState(
+        sensor=true_full.sensor,
+        landmarks=pts,
+        ids=xi0.ids,
+        mask=xi0.mask,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trajectory evaluation (reference scripts/analysis_tools.py:85-183)
+# ---------------------------------------------------------------------------
+
+
+def umeyama_alignment(est: np.ndarray, gt: np.ndarray, with_scale: bool = True):
+    """SIM(3) Umeyama alignment est -> gt. Returns (s, R, t)."""
+    mu_e = est.mean(axis=0)
+    mu_g = gt.mean(axis=0)
+    Xe = est - mu_e
+    Xg = gt - mu_g
+    cov = Xg.T @ Xe / len(est)
+    U, d, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    var_e = (Xe**2).sum() / len(est)
+    s = np.trace(np.diag(d) @ S) / var_e if with_scale else 1.0
+    t = mu_g - s * R @ mu_e
+    return s, R, t
+
+
+def ate_rmse(est_pos: np.ndarray, gt_pos: np.ndarray, with_scale: bool = True):
+    """Absolute trajectory error after SIM(3)/SE(3) alignment.
+
+    Returns ``(rmse, scale)`` as in the reference analysis
+    (``analysis_tools.py:274-284``).
+    """
+    s, R, t = umeyama_alignment(est_pos, gt_pos, with_scale)
+    aligned = (s * (R @ est_pos.T)).T + t
+    err = aligned - gt_pos
+    return float(np.sqrt((err**2).sum(axis=-1).mean())), float(s)
+
+
+def attitude_rmse(est_att: np.ndarray, gt_att: np.ndarray) -> float:
+    """Attitude RMSE in degrees after rotation-only alignment of the first pose."""
+    R_align = gt_att[0] @ est_att[0].T
+    errs = []
+    for Re, Rg in zip(est_att, gt_att):
+        dR = Rg.T @ (R_align @ Re)
+        c = np.clip((np.trace(dR) - 1) / 2, -1, 1)
+        errs.append(np.degrees(np.arccos(c)))
+    return float(np.sqrt(np.mean(np.square(errs))))

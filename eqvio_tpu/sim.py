@@ -1,0 +1,303 @@
+"""Synthetic VIO simulator: trajectories, world points, IMU + vision generation.
+
+TPU-native redesign of the reference simulator (``src/VIOSimulator.cpp``,
+``src/dataserver/SimulationDataServer.cpp``): instead of per-query scalar
+code, every signal is generated as a batched array over all query times in one
+vectorised call, and the per-frame feature selection + slot assignment runs as
+a pure function inside ``lax.scan`` so a whole sequence simulates on-device
+with zero host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .lie import SE3, se3_exp, se3_inv, se3_log, se3_mul, so3_exp, so3_log
+from .states import GRAVITY, IMU, VIOSensorState, VIOState
+
+
+# ---------------------------------------------------------------------------
+# Trajectories (reference SimulationDataServer.cpp:23-160)
+# ---------------------------------------------------------------------------
+
+
+def trajectory_poses(kind: str, end_time: float, frequency: float, dtype=jnp.float64):
+    """Generate stamped poses [T] for a named trajectory.
+
+    Kinds: ``line``, ``wave``, ``square``, ``sine`` — vectorised equivalents
+    of the reference generators.
+    """
+    num = int(np.floor(end_time * frequency))
+    t = jnp.arange(num, dtype=dtype) / frequency
+
+    if kind == "line":
+        sin_time = 10.0
+        coord = 5.0 * (2.0 * (t + jnp.sin(t * 2 * jnp.pi / sin_time)) / end_time - 1.0)
+        x = jnp.stack([jnp.zeros_like(t), coord, jnp.zeros_like(t)], axis=-1)
+        R = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (num, 3, 3))
+    elif kind == "wave":
+        circle_time = 20.0
+        ang = 2 * jnp.pi * t / circle_time
+        R = so3_exp(jnp.stack([jnp.zeros_like(ang), jnp.zeros_like(ang), ang], axis=-1))
+        x = jnp.stack([jnp.cos(ang), jnp.sin(ang), 0.2 * jnp.sin(10 * ang)], axis=-1)
+    elif kind == "sine":
+        sin_time = 20.0
+        ang = 2 * jnp.pi * t / sin_time
+        R = so3_exp(jnp.stack([jnp.zeros_like(ang), jnp.zeros_like(ang), ang], axis=-1))
+        x = jnp.stack(
+            [jnp.cos(ang), jnp.sin(ang), 0.1 * jnp.sin(5 * ang)], axis=-1
+        )
+    elif kind == "square":
+        square_time = 20.0
+        ang = -2 * jnp.pi * t / square_time
+        R = so3_exp(jnp.stack([jnp.zeros_like(ang), jnp.zeros_like(ang), ang], axis=-1))
+        s01 = (t / square_time * 4) - jnp.floor(t / square_time * 4)
+        d = -1.0 + 2.0 * jnp.sin(s01 / 2 * jnp.pi) ** 2
+        side = jnp.floor(t / square_time * 4).astype(jnp.int32) % 4
+        px = jnp.select(
+            [side == 0, side == 1, side == 2, side == 3], [d, jnp.ones_like(d), -d, -jnp.ones_like(d)]
+        )
+        py = jnp.select(
+            [side == 0, side == 1, side == 2, side == 3], [jnp.ones_like(d), -d, -jnp.ones_like(d), d]
+        )
+        x = jnp.stack([px, py, jnp.zeros_like(d)], axis=-1)
+    else:
+        raise ValueError(f"unknown trajectory kind {kind!r}")
+
+    return t, SE3(R, x)
+
+
+def generate_world_points(
+    poses_x: np.ndarray, num: int, distance: float, num_walls: int, seed: int
+) -> np.ndarray:
+    """Random points on 1-6 walls around the trajectory bounding box
+    (reference ``VIOSimulator.cpp:63-126``); one-time host-side setup."""
+    rng = np.random.default_rng(seed)
+    lo = poses_x.min(axis=0)
+    hi = poses_x.max(axis=0)
+    temp = 0.8 * np.array(
+        [float(num_walls > 0), float(num_walls > 1), float(num_walls > 3)]
+    ) + 0.2
+    scaling = hi - lo + 2 * distance * temp
+    offset = lo - distance * temp
+
+    pts = rng.uniform(0, 1, size=(num, 3)) * scaling + offset
+    for i in range(num):
+        wall = (num_walls * i) // num
+        if wall == 0:
+            pts[i, 0] = offset[0] + scaling[0]
+        elif wall == 1:
+            pts[i, 1] = offset[1] + scaling[1]
+        elif wall == 2:
+            pts[i, 1] = offset[1]
+        elif wall == 3:
+            pts[i, 0] = offset[0]
+        elif wall == 4:
+            pts[i, 2] = offset[2]
+        else:
+            pts[i, 2] = offset[2] + scaling[2]
+    return pts
+
+
+class Simulator(NamedTuple):
+    """Immutable simulator: stamped poses + world points + camera."""
+
+    times: jnp.ndarray  # [T]
+    poses: SE3  # [T]
+    world: jnp.ndarray  # [P, 3] inertial points (ids = 0..P-1)
+    camera_offset: SE3
+
+    @staticmethod
+    def create(
+        kind="wave",
+        end_time=60.0,
+        pose_frequency=100.0,
+        num_points=1000,
+        wall_distance=2.0,
+        num_walls=1,
+        seed=0,
+        camera_offset: SE3 | None = None,
+        dtype=jnp.float64,
+    ) -> "Simulator":
+        t, poses = trajectory_poses(kind, end_time, pose_frequency, dtype)
+        world = generate_world_points(
+            np.asarray(poses.x), num_points, wall_distance, num_walls, seed
+        )
+        if camera_offset is None:
+            # z-forward camera mounted on the body x-axis (reference uses an
+            # EuRoC-like offset; identity-rotation keeps tests interpretable)
+            camera_offset = SE3(
+                jnp.asarray(
+                    [[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]], dtype=dtype
+                ).T,
+                jnp.zeros(3, dtype=dtype),
+            )
+        return Simulator(t, poses, jnp.asarray(world, dtype=dtype), camera_offset)
+
+    # --- interpolation helpers ---
+
+    def _index(self, t):
+        """Index of first pose with stamp >= t, clamped to [2, T-2]."""
+        i = jnp.searchsorted(self.times, t)
+        return jnp.clip(i, 2, self.times.shape[0] - 2)
+
+    def interpolate_pose(self, t) -> SE3:
+        """Constant-twist interpolation between bracketing poses
+        (reference ``VIOSimulator.cpp:229-232``)."""
+        i = self._index(t)
+        p0 = jax.tree.map(lambda a: a[i - 1], self.poses)
+        p1 = jax.tree.map(lambda a: a[i], self.poses)
+        t0, t1 = self.times[i - 1], self.times[i]
+        vel = se3_log(se3_mul(se3_inv(p0), p1)) / (t1 - t0)
+        return se3_mul(p0, se3_exp(vel * (t - t0)))
+
+    def inertial_states(self, t) -> jnp.ndarray:
+        """[3, 3] matrix of inertial (position | velocity | acceleration),
+        from a cubic least-squares fit over 4 bracketing poses
+        (reference ``VIOSimulator.cpp:172-214``)."""
+        i = self._index(t)
+        taus = jnp.stack([self.times[i - 2], self.times[i - 1], self.times[i], self.times[i + 1]]) - t
+        Xp = jnp.stack(
+            [self.poses.x[i - 2], self.poses.x[i - 1], self.poses.x[i], self.poses.x[i + 1]],
+            axis=-1,
+        )  # [3,4]
+        TT = jnp.stack(
+            [jnp.ones_like(taus), taus, taus**2 / 2.0, taus**3 / 6.0], axis=0
+        )  # [4,4] rows are basis, cols are samples
+        A = Xp @ TT.T @ jnp.linalg.inv(TT @ TT.T)
+        return A[:, 0:3]
+
+    # --- measurements ---
+
+    def get_imu(self, t) -> IMU:
+        """IMU at time t by pose differentiation (reference ``VIOSimulator.cpp:128-170``)."""
+        i = self._index(t)
+        R0, R1 = self.poses.R[i - 1], self.poses.R[i]
+        t0, t1 = self.times[i - 1], self.times[i]
+        gyr = so3_log(jnp.swapaxes(R0, -1, -2) @ R1) / (t1 - t0)
+        att = R0 @ so3_exp((t - t0) * gyr)
+        states = self.inertial_states(t)
+        accel_inertial = states[:, 2]
+        grav = jnp.asarray([0.0, 0.0, -GRAVITY], dtype=accel_inertial.dtype)
+        acc = jnp.swapaxes(att, -1, -2) @ (accel_inertial - grav)
+        return IMU.create(t, gyr, acc)
+
+    def get_imu_batch(self, ts) -> IMU:
+        return jax.vmap(self.get_imu)(ts)
+
+    def full_state(self, t, capacity: int = 0) -> VIOState:
+        """Exact true state at time t (reference ``VIOSimulator.cpp:269-310``).
+
+        Landmarks hold ALL world points in camera frame (ids 0..P-1); callers
+        gather slots as needed.
+        """
+        i = self._index(t)
+        R0 = self.poses.R[i - 1]
+        t0, t1 = self.times[i - 1], self.times[i]
+        gyr = so3_log(jnp.swapaxes(R0, -1, -2) @ self.poses.R[i]) / (t1 - t0)
+        att = R0 @ so3_exp((t - t0) * gyr)
+        states = self.inertial_states(t)
+        pose = SE3(att, states[:, 0])
+        velocity = jnp.swapaxes(att, -1, -2) @ states[:, 1]
+
+        cam_pose_inv = se3_inv(se3_mul(pose, self.camera_offset))
+        cam_pts = (
+            jnp.einsum("ij,pj->pi", cam_pose_inv.R, self.world) + cam_pose_inv.x
+        )
+        P = self.world.shape[0]
+        sensor = VIOSensorState(
+            bias=jnp.zeros(6, dtype=self.world.dtype),
+            pose=pose,
+            velocity=velocity,
+            camera_offset=self.camera_offset,
+        )
+        return VIOState(
+            sensor=sensor,
+            landmarks=cam_pts,
+            ids=jnp.arange(P, dtype=jnp.int32),
+            mask=jnp.ones(P, dtype=bool),
+        )
+
+    def get_vision(self, t, camera, max_features: int):
+        """Visible world points at time t: camera-frame points, selection mask.
+
+        Selection keeps the ``max_features`` lowest-id visible points
+        (reference ``VIOSimulator.cpp:241-249``).
+
+        Returns ``(cam_pts [P,3], selected [P] bool)``.
+        """
+        pose = self.interpolate_pose(t)
+        cam_pose_inv = se3_inv(se3_mul(pose, self.camera_offset))
+        cam_pts = jnp.einsum("ij,pj->pi", cam_pose_inv.R, self.world) + cam_pose_inv.x
+        visible = camera.is_in_domain(cam_pts)
+        rank = jnp.cumsum(visible) - 1
+        selected = visible & (rank < max_features)
+        return cam_pts, selected
+
+
+# ---------------------------------------------------------------------------
+# Device-native slot tracker: turns per-frame "selected world ids" into
+# slot-aligned measurements with persistent slot assignment.
+# ---------------------------------------------------------------------------
+
+
+class SlotTrackerState(NamedTuple):
+    slot_ids: jnp.ndarray  # [N] world-point id per slot, -1 when free
+
+
+def slot_tracker_init(capacity: int) -> SlotTrackerState:
+    return SlotTrackerState(-jnp.ones(capacity, dtype=jnp.int32))
+
+
+def slot_tracker_step(
+    ts: SlotTrackerState, selected: jnp.ndarray
+) -> SlotTrackerState:
+    """Persist slots for still-selected ids; assign new ids to free slots.
+
+    ``selected [P]``: per-world-point visibility after max-feature selection.
+    Pure function of static shapes — scan-friendly.
+    """
+    P = selected.shape[0]
+    N = ts.slot_ids.shape[0]
+    slot_ids = ts.slot_ids
+
+    occupied = slot_ids >= 0
+    still = occupied & selected[jnp.clip(slot_ids, 0, P - 1)]
+    slot_ids = jnp.where(still, slot_ids, -1)
+
+    # which ids already have a slot (free slots scatter out-of-bounds -> dropped)
+    occ_idx = jnp.where(slot_ids >= 0, slot_ids, P)
+    has_slot = jnp.zeros(P, dtype=bool).at[occ_idx].set(True, mode="drop")
+    is_new = selected & ~has_slot
+
+    free = slot_ids < 0
+    # k-th free slot gets the k-th new id
+    free_slots = jnp.sort(jnp.where(free, jnp.arange(N, dtype=jnp.int32), N))
+    new_ids = jnp.sort(jnp.where(is_new, jnp.arange(P, dtype=jnp.int32), P))
+    n_assign = jnp.minimum(jnp.sum(free), jnp.sum(is_new))
+    k = jnp.arange(N, dtype=jnp.int32)
+    target_slot = jnp.where(k < n_assign, free_slots[k], N)
+    value_id = jnp.where(k < n_assign, new_ids[jnp.clip(k, 0, P - 1)], -1)
+    slot_ids = slot_ids.at[target_slot].set(value_id, mode="drop")
+    return SlotTrackerState(slot_ids)
+
+
+def gather_slots(cam_pts: jnp.ndarray, ts: SlotTrackerState, camera):
+    """Slot-aligned measurement arrays from camera-frame world points.
+
+    Returns ``(pixels [N,2], vis_mask [N], ids [N], true_points [N,3])``.
+    """
+    P = cam_pts.shape[0]
+    ids = ts.slot_ids
+    safe = jnp.clip(ids, 0, P - 1)
+    pts = cam_pts[safe]
+    vis = ids >= 0
+    pixels = camera.project(pts)
+    dummy = jnp.asarray([0.0, 0.0, 1.0], dtype=cam_pts.dtype)
+    pts = jnp.where(vis[:, None], pts, dummy)
+    pixels = jnp.where(vis[:, None], pixels, 0.0)
+    return pixels, vis, ids, pts

@@ -1,0 +1,189 @@
+"""Filter statistical consistency (vmapped particle Monte-Carlo) and e2e smoke.
+
+Mirrors ``test/test_FilterStatistics.cpp``: mean NEES of a 1000-particle
+population must stay near 1 at initialisation, through propagation, and
+through a vision update with weighted resampling.  The reference's particle
+loop becomes one vmap.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eqvio_tpu import filter as F
+from eqvio_tpu import group as G
+from eqvio_tpu import states as S
+from eqvio_tpu.camera import PinholeCamera
+from eqvio_tpu.runner import default_sim_camera
+
+from .utils import reasonable_state
+
+NUM_PARTICLES = 1000
+N = 2
+
+
+def make_settings():
+    # reference test_FilterStatistics.cpp:30-39
+    return F.Settings(
+        coordinate_choice="invdepth",
+        initial_point_var=0.01**2,
+        initial_point_depth_var=0.01**2,
+        initial_bias_omega_var=0.01**2,
+        initial_bias_accel_var=0.01**2,
+        initial_velocity_var=0.1**2,
+        initial_position_var=0.001**2,
+    )
+
+
+@pytest.fixture
+def setup():
+    rng = np.random.default_rng(99)
+    settings = make_settings()
+    suite = settings.suite
+    xi0 = reasonable_state(rng, N)
+    dtype = jnp.float64
+    D = xi0.dim()
+    diag = np.concatenate(
+        [
+            np.asarray(settings.initial_sensor_cov_diag(dtype)),
+            np.tile(np.asarray(settings.initial_point_cov_diag(dtype)), N),
+        ]
+    )
+    Sigma0 = jnp.asarray(np.diag(diag))
+    state = F.EqFState(
+        xi0=xi0, X=G.group_identity(N), Sigma=Sigma0, t=jnp.asarray(0.0)
+    )
+
+    # particles from the initial distribution via the innovation lift
+    # (reference test_FilterStatistics.cpp:87-95)
+    eps = rng.normal(size=(NUM_PARTICLES, D)) * np.sqrt(diag)[None, :]
+    eps = jnp.asarray(eps)
+
+    def make_particle(e):
+        Delta = G.group_exp(suite.lift_innovation(e, xi0))
+        return G.state_action(Delta, xi0)
+
+    particles = jax.vmap(make_particle)(eps)
+    return rng, settings, suite, state, particles
+
+
+def mean_nees(state, particles, suite, settings):
+    f = jax.vmap(lambda p: F.compute_nees(state, p, suite, settings))
+    return float(jnp.mean(f(particles)))
+
+
+def test_initial_distribution(setup):
+    rng, settings, suite, state, particles = setup
+    assert abs(mean_nees(state, particles, suite, settings) - 1.0) < 0.1
+
+
+def test_propagation_consistency(setup):
+    """Zero-noise propagation keeps NEES (test_FilterStatistics.cpp:100-116)."""
+    rng, settings, suite, state, particles = setup
+    import dataclasses
+
+    zero_settings = dataclasses.replace(
+        settings,
+        bias_omega_process_var=0.0,
+        bias_accel_process_var=0.0,
+        attitude_process_var=0.0,
+        position_process_var=0.0,
+        velocity_process_var=0.0,
+        camera_attitude_process_var=0.0,
+        camera_position_process_var=0.0,
+        point_process_var=0.0,
+        vel_gyr_noise=0.0,
+        vel_acc_noise=0.0,
+        vel_gyr_bias_walk=0.0,
+        vel_acc_bias_walk=0.0,
+    )
+    dt = 0.2
+    imu = S.IMU.create(0.0, jnp.zeros(3), jnp.zeros(3))
+
+    step_particles = jax.jit(
+        jax.vmap(lambda p: S.integrate_system(p, imu, dt))
+    )
+
+    for rep in range(5):
+        particles = step_particles(particles)
+        state = F.integrate_riccati_discrete(state, imu, dt, zero_settings, suite)
+        state = F.integrate_observer(state, imu, dt, zero_settings)
+        nees = mean_nees(state, particles, suite, settings)
+        assert abs(nees - 1.0) < 1.0, f"rep {rep}: NEES {nees}"
+
+
+def test_update_consistency(setup):
+    """Vision update against weighted-resampled particles
+    (test_FilterStatistics.cpp:140-168)."""
+    rng, settings, suite, state, particles = setup
+    cam = default_sim_camera()
+
+    meas_var = settings.measurement_noise**2
+    y0, _ = S.measure_system(state.xi0, cam)
+    noise = rng.normal(size=y0.shape) * settings.measurement_noise
+    y_meas = jnp.asarray(np.asarray(y0) + noise)
+
+    # particle weights by measurement likelihood
+    def loglike(p):
+        y, _ = S.measure_system(p, cam)
+        e = (y_meas - y).reshape(-1)
+        return -0.5 * jnp.sum(e * e) / meas_var
+
+    ll = np.asarray(jax.vmap(loglike)(particles))
+    w = np.exp(ll - ll.max())
+    w = w / w.sum()
+    idx = rng.choice(NUM_PARTICLES, size=NUM_PARTICLES, p=w)
+    particles = jax.tree.map(lambda a: a[jnp.asarray(idx)], particles)
+
+    vis = jnp.ones(N, dtype=bool)
+    state = F.update_vision(state, y_meas, vis, cam, settings, suite)
+
+    nees = mean_nees(state, particles, suite, settings)
+    assert abs(nees - 1.0) < 0.5, f"NEES {nees}"
+
+
+# ---------------------------------------------------------------------------
+# End-to-end simulation smoke test
+# ---------------------------------------------------------------------------
+
+
+def test_sim_end_to_end():
+    from eqvio_tpu.runner import ate_rmse, run_simulation
+
+    settings = F.Settings(measurement_noise=0.5)
+    res = run_simulation(
+        settings, capacity=16, max_features=12, end_time=8.0, num_walls=4
+    )
+    nl = np.asarray(res.num_landmarks)
+    assert not np.any(np.isnan(np.asarray(res.est_position)))
+    # landmarks must be tracked for most of the sequence
+    assert (nl > 0).mean() > 0.7
+    rmse, scale = ate_rmse(np.asarray(res.est_position), np.asarray(res.true_position))
+    assert rmse < 0.05
+    assert abs(scale - 1.0) < 0.05
+
+
+def test_sim_full_pipeline_with_outliers():
+    """process_vision path (tracker-driven landmarks, no true augmentation)."""
+    from eqvio_tpu.runner import ate_rmse, run_simulation
+
+    settings = F.Settings(
+        measurement_noise=0.5,
+        initial_point_var=1.0,
+        outlier_threshold_abs=100.0,
+        outlier_threshold_prob=30.0,
+    )
+    res = run_simulation(
+        settings,
+        capacity=16,
+        max_features=12,
+        end_time=8.0,
+        num_walls=4,
+        augment_true_landmarks=False,
+    )
+    nl = np.asarray(res.num_landmarks)
+    assert not np.any(np.isnan(np.asarray(res.est_position)))
+    assert (nl > 0).mean() > 0.7
+    rmse, _ = ate_rmse(np.asarray(res.est_position), np.asarray(res.true_position))
+    assert rmse < 0.5
