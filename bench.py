@@ -1,0 +1,71 @@
+"""Benchmark: full simulated VIO pipeline throughput on one chip.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``
+
+Measured quantity: frames/s of the complete jitted pipeline scan (IMU
+propagation windows at 200 Hz, slot tracking, landmark lifecycle, EqF update
+at 20 Hz, capacity 32 / 30 features), device compute only (host-side dataset
+prep is one-time and overlappable).  The driver runs this on one real TPU
+chip.
+
+Baseline: the reference EqVIO commits no timing numbers (BASELINE.md); its
+per-frame filter time on the author's CPU corresponds to roughly 500 frames/s
+on EuRoC-scale configs (GIFT tracking excluded).  ``vs_baseline`` is measured
+fps / 500; the BASELINE.json target is >= 5x (vs_baseline >= 5).
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_FPS = 500.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from eqvio_tpu import filter as F
+    from eqvio_tpu.runner import build_sim_runner, prepare_sim_inputs
+
+    settings = F.Settings(measurement_noise=0.5)
+    inputs = prepare_sim_inputs(
+        settings,
+        capacity=32,
+        max_features=30,
+        end_time=30.0,
+        imu_freq=200.0,
+        frame_freq=20.0,
+        num_walls=4,
+        dtype=jnp.float32,
+    )
+    run = build_sim_runner(settings, inputs, augment_true_landmarks=False)
+
+    # warm-up / compile
+    res = run()
+    jax.block_until_ready(res.est_position)
+    n_frames = int(res.times.shape[0])
+
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        res = run()
+        jax.block_until_ready(res.est_position)
+        best = min(best, time.perf_counter() - t0)
+
+    fps = n_frames / best
+    out = {
+        "metric": "sim_pipeline_frames_per_s_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS, 2),
+    }
+    est = np.asarray(res.est_position)
+    assert not np.any(np.isnan(est)), "NaN in benchmark run"
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

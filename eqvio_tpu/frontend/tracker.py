@@ -1,0 +1,125 @@
+"""Slot-based point-feature tracker: GIFT ``PointFeatureTracker`` equivalent.
+
+Combines KLT tracking with corner re-detection under the same fixed-capacity
+slot protocol the filter uses (see ``eqvio_tpu.filter``): a feature keeps its
+slot while tracked; freed slots are refilled from newly detected corners with
+fresh ids.  The whole per-frame step is one jittable pure function.
+
+Reference behaviour mirrored: ``GIFT::PointFeatureTracker::processImage``
+with predicted coordinates (``main_opt.cpp:186-208``), config keys
+``maxFeatures / featureDist / minHarrisQuality / winSize / maxLevel /
+maxError / trackedFeatureDist`` (``EQVIO_config_template.yaml:52-62``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .detector import detect_features, equalize_histogram
+from .klt import track_features
+from .pyramid import build_pyramid
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    max_features: int = 30  # also the slot capacity
+    feature_dist: int = 20  # NMS radius for new detections
+    min_harris_quality: float = 0.05
+    tracked_feature_dist: float = 20.0  # keep-away radius around live tracks
+    win_size: int = 21
+    max_level: int = 3
+    max_error: float = 0.05
+    equalize_histogram: bool = False
+
+
+class TrackerState(NamedTuple):
+    positions: jnp.ndarray  # [N, 2] (x, y)
+    ids: jnp.ndarray  # [N] int32, -1 when free
+    mask: jnp.ndarray  # [N] bool
+    next_id: jnp.ndarray  # scalar int32
+    pyramid: tuple  # previous frame pyramid
+
+
+def tracker_init(config: TrackerConfig, image_shape, dtype=jnp.float32) -> TrackerState:
+    N = config.max_features
+    H, W = image_shape
+    levels = config.max_level + 1
+    pyr = tuple(
+        jnp.zeros((H // (2**l), W // (2**l)), dtype=dtype) for l in range(levels)
+    )
+    return TrackerState(
+        positions=jnp.zeros((N, 2), dtype=dtype),
+        ids=-jnp.ones((N,), dtype=jnp.int32),
+        mask=jnp.zeros((N,), dtype=bool),
+        next_id=jnp.asarray(0, dtype=jnp.int32),
+        pyramid=pyr,
+    )
+
+
+def tracker_step(
+    state: TrackerState,
+    image: jnp.ndarray,
+    config: TrackerConfig,
+    predicted: jnp.ndarray | None = None,
+) -> TrackerState:
+    """Process one frame: track live slots, drop failures, refill free slots.
+
+    ``predicted [N, 2]``: optional filter-predicted coordinates used as the
+    KLT initial guess (reference ``getFeaturePredictions``,
+    ``VIOFilter.cpp:247-252``).
+    """
+    if config.equalize_histogram:
+        image = equalize_histogram(image)
+    pyr = build_pyramid(image, config.max_level + 1)
+
+    # 1. track existing features
+    new_pos, tracked = track_features(
+        list(state.pyramid),
+        list(pyr),
+        state.positions,
+        state.mask,
+        predicted=predicted,
+        win=config.win_size,
+        max_error=config.max_error,
+    )
+    positions = jnp.where(tracked[:, None], new_pos, state.positions)
+    ids = jnp.where(tracked, state.ids, -1)
+    mask = tracked
+
+    # 2. detect new corners away from live tracks
+    N = config.max_features
+    cand_pos, cand_valid = detect_features(
+        image,
+        max_features=N,
+        min_dist=config.feature_dist,
+        quality=config.min_harris_quality,
+        border=config.win_size,
+        exclude=positions,
+        exclude_mask=mask,
+        exclude_dist=config.tracked_feature_dist,
+    )
+
+    # 3. fill free slots in order with valid candidates
+    free = ~mask
+    k = jnp.arange(N, dtype=jnp.int32)
+    free_slots = jnp.sort(jnp.where(free, k, N))
+    cand_idx = jnp.sort(jnp.where(cand_valid, k, N))
+    n_assign = jnp.minimum(jnp.sum(free), jnp.sum(cand_valid))
+    target_slot = jnp.where(k < n_assign, free_slots[k], N)
+    src = jnp.clip(cand_idx[k], 0, N - 1)
+    new_ids = state.next_id + jnp.arange(N, dtype=jnp.int32)
+    positions = positions.at[target_slot].set(cand_pos[src], mode="drop")
+    ids = ids.at[target_slot].set(jnp.where(k < n_assign, new_ids, -1), mode="drop")
+    mask = mask.at[target_slot].set(k < n_assign, mode="drop")
+
+    return TrackerState(
+        positions=positions,
+        ids=ids,
+        mask=mask,
+        next_id=state.next_id + n_assign.astype(jnp.int32),
+        pyramid=tuple(pyr),
+    )

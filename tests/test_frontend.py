@@ -1,0 +1,94 @@
+"""Feature detection + KLT tracking on synthetic rendered frames."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eqvio_tpu.frontend import (
+    TrackerConfig,
+    TrackerState,
+    build_pyramid,
+    detect_features,
+    harris_score,
+    track_features,
+    tracker_init,
+    tracker_step,
+)
+
+H, W = 120, 160
+
+
+def render_points(points_xy: np.ndarray, h=H, w=W, sigma=1.5):
+    """Render gaussian blobs at (x, y) positions onto a dark image."""
+    ys, xs = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w), dtype=np.float64)
+    for x, y in points_xy:
+        img += np.exp(-((xs - x) ** 2 + (ys - y) ** 2) / (2 * sigma**2))
+    return jnp.asarray(np.clip(img, 0, 1), dtype=jnp.float64)
+
+
+@pytest.fixture
+def blob_positions():
+    rng = np.random.default_rng(8)
+    pts = rng.uniform([30, 30], [W - 30, H - 30], size=(8, 2))
+    # enforce pairwise separation
+    keep = []
+    for p in pts:
+        if all(np.linalg.norm(p - q) > 25 for q in keep):
+            keep.append(p)
+    return np.asarray(keep)
+
+
+def test_detect_features_finds_blobs(blob_positions):
+    img = render_points(blob_positions)
+    pos, valid = detect_features(img, max_features=16, min_dist=8, border=10)
+    pos = np.asarray(pos)[np.asarray(valid)]
+    assert len(pos) >= len(blob_positions) - 1
+    # every blob matched by some detection within 2 px
+    for b in blob_positions:
+        d = np.linalg.norm(pos - b, axis=-1).min()
+        assert d < 2.0, f"blob at {b} not detected (nearest {d:.1f} px)"
+
+
+def test_klt_tracks_translation(blob_positions):
+    shift = np.array([3.4, -2.2])
+    img0 = render_points(blob_positions)
+    img1 = render_points(blob_positions + shift)
+    pyr0 = build_pyramid(img0, 3)
+    pyr1 = build_pyramid(img1, 3)
+    pos0 = jnp.asarray(blob_positions)
+    mask = jnp.ones(len(blob_positions), dtype=bool)
+    pos1, tracked = track_features(pyr0, pyr1, pos0, mask, win=15)
+    assert bool(jnp.all(tracked))
+    err = np.linalg.norm(np.asarray(pos1) - (blob_positions + shift), axis=-1)
+    assert err.max() < 0.3, err
+
+
+def test_tracker_full_loop(blob_positions):
+    """Detect on frame 0, track over a drifting sequence, ids persist."""
+    cfg = TrackerConfig(max_features=12, feature_dist=10, win_size=15, max_level=2,
+                        max_error=0.2, tracked_feature_dist=10.0)
+    state = tracker_init(cfg, (H, W), dtype=jnp.float64)
+    vel = np.array([1.5, 1.0])
+    ids_at = {}
+    for k in range(6):
+        img = render_points(blob_positions + k * vel)
+        state = tracker_step(state, img, cfg)
+        if k == 1:
+            ids_at[1] = (np.asarray(state.ids).copy(), np.asarray(state.positions).copy())
+    n_tracked = int(np.asarray(state.mask).sum())
+    assert n_tracked >= len(blob_positions) - 1
+
+    # ids persisted from frame 1 to the end for still-visible features
+    ids1, _ = ids_at[1]
+    ids_end = np.asarray(state.ids)
+    common = set(ids1[ids1 >= 0]) & set(ids_end[ids_end >= 0])
+    assert len(common) >= len(blob_positions) - 2
+
+    # tracked positions match the true blob motion
+    pos_end = np.asarray(state.positions)[np.asarray(state.mask)]
+    true_end = blob_positions + 5 * vel
+    for t in true_end:
+        if (30 < t[0] < W - 30) and (30 < t[1] < H - 30):
+            assert np.linalg.norm(pos_end - t, axis=-1).min() < 1.0
