@@ -27,6 +27,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # TPU f32 matmuls default to bf16 accumulation — fatal for filter math
+    jax.config.update("jax_default_matmul_precision", "float32")
+
     from eqvio_tpu import filter as F
     from eqvio_tpu.runner import build_sim_runner, prepare_sim_inputs
 

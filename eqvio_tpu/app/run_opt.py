@@ -1,0 +1,250 @@
+"""Real-data VIO entry point: the ``eqvio_opt`` equivalent.
+
+CLI and pipeline mirror the reference main loop (``src/main_opt.cpp:45-277``):
+dataset reader -> feature tracking -> EqF filter -> CSV outputs, with
+``--start/--stop`` windowing, ``--timing`` rows, and the dataset camera yaml
+overriding config extrinsics (``main_opt.cpp:143-147``).
+
+TPU-native split: image decode + stream merge stay on the host prefetch
+thread; the tracker step and the filter step are two jitted device programs
+per frame (tracking batched over features, the filter's whole frame fused).
+
+Usage:
+    python -m eqvio_tpu.app.run_opt <dataset_dir> <config.yaml>
+        [--mode asl|uzhfpv] [--output DIR] [--start T] [--stop T] [--timing]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import filter as F
+from ..camera import EquidistantCamera, PinholeCamera, RadTanCamera
+from ..data import DataServer, create_dataset_reader
+from ..frontend import TrackerConfig, tracker_init, tracker_step
+from ..io import LoopTimer, VIOWriter, load_config, settings_from_config, tracker_config_from_config
+from ..io.writer import rotation_to_quaternion
+from ..states import IMU
+
+TIMING_LABELS = ["features", "propagation", "preprocessing", "correction", "total vision update", "write output", "total"]
+
+
+def camera_from_info(info, dtype=jnp.float64):
+    fx, fy, cx, cy = info.intrinsics
+    w, h = info.resolution
+    if info.model == "radtan":
+        if np.allclose(info.distortion, 0.0):
+            return PinholeCamera.create(fx, fy, cx, cy, w, h, dtype=dtype)
+        return RadTanCamera.create(fx, fy, cx, cy, info.distortion, w, h, dtype=dtype)
+    if info.model == "equidistant":
+        return EquidistantCamera.create(fx, fy, cx, cy, info.distortion, w, h, dtype=dtype)
+    return PinholeCamera.create(fx, fy, cx, cy, w, h, dtype=dtype)
+
+
+def run_dataset(
+    dataset_dir: str,
+    config: dict,
+    mode: str = "asl",
+    output_dir: str | None = None,
+    start: float | None = None,
+    stop: float | None = None,
+    camera_yaml: str | None = None,
+    timing: bool = False,
+    imu_window: int = 32,
+    dtype=jnp.float64,
+    limit_frames: int | None = None,
+):
+    """Run the full real-data pipeline; returns (writer, summary dict)."""
+    reader = create_dataset_reader(mode, dataset_dir, camera_yaml)
+    settings = settings_from_config(config)
+    tcfg = tracker_config_from_config(config)
+
+    # dataset camera extrinsics override the config (main_opt.cpp:143-147)
+    T_BS = reader.camera.T_BS
+    quat = rotation_to_quaternion(T_BS[:3, :3])
+    settings = F.Settings(
+        **{
+            **settings.__dict__,
+            "camera_offset_quat": tuple(quat.tolist()),
+            "camera_offset_pos": tuple(T_BS[:3, 3].tolist()),
+        }
+    )
+
+    camera = camera_from_info(reader.camera, dtype)
+    capacity = tcfg.max_features
+    w, h = reader.camera.resolution
+
+    state = F.init_state(settings, capacity, dtype)
+    tracker = tracker_init(tcfg, (h, w), dtype=jnp.float32)
+    suite = settings.suite
+
+    jit_tracker = jax.jit(lambda ts, img: tracker_step(ts, img, tcfg))
+
+    @jax.jit
+    def jit_filter(state, imu_win, dts, pixels, vis, ids):
+        state = F.propagate_window(state, imu_win, dts, settings, suite)
+        state = F.process_vision(state, pixels, vis, ids, camera, settings, suite)
+        return state
+
+    first_img_seen = False
+    if start is None and mode == "asl":
+        start = None  # full sequence by default
+    server = DataServer(reader, start_time=start, stop_time=stop)
+
+    writer = VIOWriter(output_dir) if output_dir else None
+    loop_timer = LoopTimer(TIMING_LABELS)
+
+    imu_buf: list[tuple[float, np.ndarray, np.ndarray]] = []
+    initialised = False
+    n_frames = 0
+    t_begin = time.perf_counter()
+
+    for meas in server:
+        if meas.kind == "imu":
+            gyr, acc = meas.data
+            if not initialised:
+                state = F.initialize_attitude_from_imu(
+                    state,
+                    IMU.create(
+                        jnp.asarray(meas.stamp, dtype=dtype),
+                        jnp.asarray(gyr, dtype=dtype),
+                        jnp.asarray(acc, dtype=dtype),
+                    ),
+                )
+                initialised = True
+            imu_buf.append((meas.stamp, gyr, acc))
+            continue
+
+        # ---- image measurement ----
+        if not initialised:
+            continue
+        loop_timer.start_loop()
+        loop_timer.start_timing("total")
+
+        loop_timer.start_timing("features")
+        img = jnp.asarray(meas.data, dtype=jnp.float32)
+        tracker = jit_tracker(tracker, img)
+        pixels = jnp.asarray(tracker.positions, dtype=dtype)
+        vis = tracker.mask
+        ids = tracker.ids
+        loop_timer.end_timing("features")
+
+        # build the padded IMU window for [prev_t, stamp]
+        loop_timer.start_timing("propagation")
+        t_prev = float(state.t)
+        stamps, dts_list = [], []
+        kept = []
+        for j, (ts, gyr, acc) in enumerate(imu_buf):
+            t1 = imu_buf[j + 1][0] if j + 1 < len(imu_buf) else meas.stamp
+            dt = max(min(t1, meas.stamp) - max(ts, t_prev), 0.0)
+            if dt > 0 or not kept:
+                kept.append((ts, gyr, acc, dt))
+        kept = kept[-imu_window:]
+        K = imu_window
+        arr_stamp = np.full(K, kept[-1][0] if kept else meas.stamp)
+        arr_gyr = np.zeros((K, 3))
+        arr_acc = np.zeros((K, 3))
+        arr_dt = np.zeros(K)
+        for j, (ts, gyr, acc, dt) in enumerate(kept):
+            arr_stamp[j] = ts
+            arr_gyr[j] = gyr
+            arr_acc[j] = acc
+            arr_dt[j] = dt
+        for j in range(len(kept), K):
+            if kept:
+                arr_gyr[j] = kept[-1][1]
+                arr_acc[j] = kept[-1][2]
+        arr_stamp[len(kept):] = meas.stamp
+        imu_win = IMU(
+            stamp=jnp.asarray(arr_stamp, dtype=dtype),
+            gyr=jnp.asarray(arr_gyr, dtype=dtype),
+            acc=jnp.asarray(arr_acc, dtype=dtype),
+            gyr_bias_vel=jnp.zeros((K, 3), dtype=dtype),
+            acc_bias_vel=jnp.zeros((K, 3), dtype=dtype),
+        )
+        # trim consumed buffer entries (VIOFilter.cpp:182-189)
+        imu_buf = [e for e in imu_buf if e[0] >= meas.stamp - 0.05]
+        loop_timer.end_timing("propagation")
+
+        loop_timer.start_timing("total vision update")
+        state = jit_filter(
+            state, imu_win, jnp.asarray(arr_dt, dtype=dtype), pixels, vis, ids
+        )
+        state = state._replace(t=jnp.asarray(meas.stamp, dtype=dtype))
+        loop_timer.end_timing("total vision update")
+
+        loop_timer.start_timing("write output")
+        if writer is not None:
+            est = F.state_estimate(state)
+            writer.write_states(
+                meas.stamp,
+                np.asarray(est.sensor.pose.R),
+                np.asarray(est.sensor.pose.x),
+                np.asarray(est.sensor.velocity),
+                np.asarray(est.sensor.camera_offset.R),
+                np.asarray(est.sensor.camera_offset.x),
+                np.asarray(est.sensor.bias),
+                landmarks=np.asarray(est.landmarks),
+                landmark_ids=np.asarray(est.ids),
+                landmark_mask=np.asarray(est.mask),
+            )
+            writer.write_features(meas.stamp, np.asarray(pixels), np.asarray(ids), np.asarray(vis))
+        loop_timer.end_timing("write output")
+        loop_timer.end_timing("total")
+
+        if writer is not None and timing:
+            t0_row, row = loop_timer.frame_row()
+            writer.write_timing(t0_row, row)
+
+        n_frames += 1
+        if limit_frames and n_frames >= limit_frames:
+            break
+
+    elapsed = time.perf_counter() - t_begin
+    if writer is not None:
+        writer.flush()
+    est = F.state_estimate(state)
+    summary = {
+        "frames": n_frames,
+        "fps": n_frames / max(elapsed, 1e-9),
+        "final_position": np.asarray(est.sensor.pose.x).tolist(),
+        "landmarks": int(np.asarray(est.mask).sum()),
+    }
+    return state, summary
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native EqVIO on a real dataset")
+    ap.add_argument("dataset")
+    ap.add_argument("config")
+    ap.add_argument("--mode", default="asl")
+    ap.add_argument("--output", default=None)
+    ap.add_argument("--camera", default=None)
+    ap.add_argument("--start", type=float, default=None)
+    ap.add_argument("--stop", type=float, default=None)
+    ap.add_argument("--timing", action="store_true")
+    ap.add_argument("--display", action="store_true", help="accepted for parity; no GUI")
+    args = ap.parse_args(argv)
+
+    config = load_config(args.config)
+    _, summary = run_dataset(
+        args.dataset,
+        config,
+        mode=args.mode,
+        output_dir=args.output,
+        start=args.start,
+        stop=args.stop,
+        camera_yaml=args.camera,
+        timing=args.timing,
+    )
+    print(f"Processed {summary['frames']} frames at {summary['fps']:.1f} fps; "
+          f"{summary['landmarks']} landmarks live.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,4 @@
+from .asl import ASLDatasetReader
+from .uzhfpv import UZHFPVDatasetReader
+from .server import DataServer, create_dataset_reader
+from .synthetic import generate_asl_dataset

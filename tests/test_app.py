@@ -1,0 +1,87 @@
+"""Hermetic end-to-end test of the real-data path.
+
+Generates a synthetic ASL-format dataset (rendered PNG frames + IMU CSVs),
+then runs the full ``run_opt`` pipeline: reader -> prefetch server ->
+KLT tracker -> EqF filter -> CSV writer, and evaluates ATE against the
+written ground truth — the in-repo analogue of the reference's external
+dataset regression scripts.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from eqvio_tpu.data import ASLDatasetReader, DataServer, generate_asl_dataset
+from eqvio_tpu.io import load_config
+
+
+@pytest.fixture(scope="module")
+def synthetic_dataset(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("asl"))
+    sim = generate_asl_dataset(out, end_time=4.0, width=320, height=240,
+                               frame_freq=10.0, num_points=300)
+    return out, sim
+
+
+def test_asl_reader(synthetic_dataset):
+    path, sim = synthetic_dataset
+    reader = ASLDatasetReader(path)
+    assert len(reader.imu.stamps) > 500
+    assert len(reader.images.stamps) > 30
+    assert reader.camera.model == "radtan"
+    assert reader.camera.resolution == (320, 240)
+    img = reader.load_image(0)
+    assert img.shape == (240, 320)
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    # extrinsics round-trip
+    np.testing.assert_allclose(
+        reader.camera.T_BS[:3, :3], np.asarray(sim.camera_offset.R), atol=1e-6
+    )
+
+
+def test_dataserver_ordering(synthetic_dataset):
+    path, _ = synthetic_dataset
+    reader = ASLDatasetReader(path)
+    stamps = []
+    kinds = []
+    for meas in DataServer(reader):
+        stamps.append(meas.stamp)
+        kinds.append(meas.kind)
+    assert all(s1 <= s2 + 1e-12 for s1, s2 in zip(stamps, stamps[1:]))
+    assert "image" in kinds and "imu" in kinds
+
+
+def test_run_opt_end_to_end(synthetic_dataset, tmp_path):
+    path, sim = synthetic_dataset
+    from eqvio_tpu.app.run_opt import run_dataset
+    from eqvio_tpu.runner import ate_rmse
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..", "configs", "config_template.yaml"))
+    cfg["eqf"]["measurementNoise"]["feature"] = 1.0
+    cfg["eqf"]["initialVariance"]["point"] = 10.0
+    cfg["GIFT"]["maxFeatures"] = 20
+    cfg["GIFT"]["winSize"] = 15
+    cfg["GIFT"]["featureDist"] = 12
+
+    out_dir = str(tmp_path / "out")
+    state, summary = run_dataset(path, cfg, output_dir=out_dir, timing=True)
+    assert summary["frames"] > 25
+    assert summary["landmarks"] > 3
+
+    # compare the written trajectory against the written ground truth
+    est = np.genfromtxt(os.path.join(out_dir, "IMUState.csv"), delimiter=",", skip_header=1)
+    gt = np.genfromtxt(
+        os.path.join(path, "mav0", "state_groundtruth_estimate0", "data.csv"),
+        delimiter=",", skip_header=1,
+    )
+    assert not np.any(np.isnan(est))
+    # align stamps (gt in ns)
+    gt_t = gt[:, 0] * 1e-9
+    idx = np.searchsorted(gt_t, est[:, 0])
+    idx = np.clip(idx, 0, len(gt_t) - 1)
+    rmse, scale = ate_rmse(est[:, 1:4], gt[idx, 1:4])
+    assert rmse < 0.5, f"ATE {rmse}"
+    # timing rows written
+    assert os.path.exists(os.path.join(out_dir, "timing.csv"))
+    assert os.path.exists(os.path.join(out_dir, "features.csv"))
