@@ -33,7 +33,17 @@ def main():
     from eqvio_tpu import filter as F
     from eqvio_tpu.runner import build_sim_runner, prepare_sim_inputs
 
-    settings = F.Settings(measurement_noise=0.5)
+    # algorithm switches matching the reference's shipped EuRoC config
+    # (configs/EQVIO_config_EuRoC_stationary.yaml: InvDepth + fastRiccati +
+    # continuous innovation lift)
+    settings = F.Settings(
+        measurement_noise=0.5,
+        coordinate_choice="invdepth",
+        fast_riccati=True,
+        use_discrete_innovation_lift=False,
+        use_median_depth=False,
+        initial_scene_depth=2.5,
+    )
     inputs = prepare_sim_inputs(
         settings,
         capacity=32,

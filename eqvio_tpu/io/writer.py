@@ -48,16 +48,33 @@ def _fmt(x) -> str:
 
 
 class VIOWriter:
-    """Buffered CSV writer with reference-identical headers."""
+    """Buffered CSV writer with reference-identical headers.
 
-    def __init__(self, output_dir: str):
+    With ``streaming=True`` lines go straight to the native async writer
+    (``native/aofstream.cpp``: C++ background flush thread, the reference
+    aofstream equivalent) so long runs never hold output in Python memory.
+    """
+
+    def __init__(self, output_dir: str, streaming: bool = False):
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
-        self._buffers: dict[str, list[str]] = {}
+        self._buffers: dict[str, list] = {}
+        self._streaming = False
+        if streaming:
+            from . import native
 
-    def _file(self, name: str, header: str) -> list[str]:
+            if native.available():
+                self._streaming = True
+                self._native = native
+
+    def _file(self, name: str, header: str) -> list:
         if name not in self._buffers:
-            self._buffers[name] = [header]
+            if self._streaming:
+                handle = self._native.AsyncFile(os.path.join(self.output_dir, name))
+                handle.write(header)
+                self._buffers[name] = handle
+            else:
+                self._buffers[name] = [header]
         return self._buffers[name]
 
     # --- state outputs (reference VIOWriter.cpp:33-81) ---
@@ -139,6 +156,11 @@ class VIOWriter:
         )
 
     def flush(self):
+        if self._streaming:
+            for handle in self._buffers.values():
+                handle.close()
+            self._buffers.clear()
+            return
         for name, lines in self._buffers.items():
             with open(os.path.join(self.output_dir, name), "w") as f:
                 f.writelines(lines)

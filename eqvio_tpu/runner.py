@@ -17,7 +17,15 @@ import numpy as np
 
 from . import filter as F
 from .camera import PinholeCamera
-from .sim import Simulator, SlotTrackerState, gather_slots, slot_tracker_init, slot_tracker_step
+from .sim import (
+    Simulator,
+    SlotTrackerState,
+    gather_slots,
+    gather_slots_compact,
+    slot_tracker_init,
+    slot_tracker_step,
+    slot_tracker_step_compact,
+)
 from .states import IMU, VIOState
 from .lie import SE3
 
@@ -84,6 +92,12 @@ class SimInputs(NamedTuple):
     imu_all: IMU
     max_features: int
     capacity: int
+    pixel_noise: jnp.ndarray | None = None  # [T, capacity, 2]
+    sel_ids: jnp.ndarray | None = None  # [T, F] selected world ids
+    sel_pts: jnp.ndarray | None = None  # [T, F, 3] camera-frame points
+    true_pos: jnp.ndarray | None = None  # [T, 3]
+    true_R: jnp.ndarray | None = None  # [T, 3, 3]
+    true_vel: jnp.ndarray | None = None  # [T, 3]
 
 
 def prepare_sim_inputs(
@@ -97,11 +111,20 @@ def prepare_sim_inputs(
     seed: int = 0,
     num_walls: int = 4,
     num_points: int = 1000,
+    input_noise: bool = False,
+    output_noise: bool = False,
+    initial_noise: bool = False,
+    noise_seed: int = 1,
     dtype=jnp.float64,
     sim: Simulator | None = None,
     camera: PinholeCamera | None = None,
 ) -> SimInputs:
-    """One-time host-side setup: trajectory, IMU batch, windows, initial state."""
+    """One-time host-side setup: trajectory, IMU batch, windows, initial state.
+
+    Noise switches mirror the reference simulator's ``initialNoise /
+    inputNoise / outputNoise`` (``VIOSimulator.cpp:163-167,258-262,300-307``):
+    samples are drawn from the filter's own gain matrices.
+    """
     if sim is None:
         sim = Simulator.create(
             kind=kind,
@@ -121,6 +144,17 @@ def prepare_sim_inputs(
 
     imu_all = jax.jit(sim.get_imu_batch)(jnp.asarray(imu_times, dtype=dtype))
 
+    nrng = np.random.default_rng(noise_seed)
+    if input_noise:
+        # cov = input gain * sampling frequency (VIOSimulator.cpp:163-167)
+        sf = np.sqrt(imu_freq)
+        gyr_n = nrng.normal(size=imu_all.gyr.shape) * settings.vel_gyr_noise * sf
+        acc_n = nrng.normal(size=imu_all.acc.shape) * settings.vel_acc_noise * sf
+        imu_all = imu_all._replace(
+            gyr=imu_all.gyr + jnp.asarray(gyr_n, dtype=dtype),
+            acc=imu_all.acc + jnp.asarray(acc_n, dtype=dtype),
+        )
+
     # exact-state initialisation (reference main_sim.cpp:103, VIOFilter.cpp:43-56)
     true0 = sim.full_state(jnp.asarray(t0, dtype=dtype))
     state = F.init_state(settings, capacity, dtype)
@@ -128,6 +162,38 @@ def prepare_sim_inputs(
         sensor=true0.sensor._replace(camera_offset=sim.camera_offset)
     )
     state = state._replace(xi0=xi0, t=jnp.asarray(t0, dtype=dtype))
+
+    if initial_noise:
+        # perturb through the chart at the origin (VIOSimulator.cpp:300-307)
+        D = state.xi0.dim()
+        diag = np.concatenate(
+            [
+                np.asarray(settings.initial_sensor_cov_diag(dtype)),
+                np.tile(np.asarray(settings.initial_point_cov_diag(dtype)), capacity),
+            ]
+        )
+        eps = jnp.asarray(nrng.normal(size=D) * np.sqrt(diag), dtype=dtype)
+        xi0_pert = settings.suite.chart.chart_inv(eps, state.xi0)
+        state = state._replace(xi0=xi0_pert)
+
+    pixel_noise = None
+    if output_noise:
+        Tn = len(frame_times)
+        pixel_noise = jnp.asarray(
+            nrng.normal(size=(Tn, capacity, 2)) * settings.measurement_noise,
+            dtype=dtype,
+        )
+
+    # vectorise the per-frame feature selection and ground truth over the
+    # whole sequence — only compact F-sized work remains inside the scan
+    ftimes_j = jnp.asarray(frame_times, dtype=dtype)
+    sel_ids, sel_pts = jax.jit(
+        jax.vmap(lambda t: sim.get_vision_compact(t, camera, max_features))
+    )(ftimes_j)
+    true_states = jax.jit(jax.vmap(lambda t: sim.full_state(t)))(ftimes_j)
+    true_pos = true_states.sensor.pose.x
+    true_R = true_states.sensor.pose.R
+    true_vel = true_states.sensor.velocity
 
     return SimInputs(
         sim=sim,
@@ -139,6 +205,12 @@ def prepare_sim_inputs(
         imu_all=imu_all,
         max_features=max_features,
         capacity=capacity,
+        pixel_noise=pixel_noise,
+        sel_ids=sel_ids,
+        sel_pts=sel_pts,
+        true_pos=true_pos,
+        true_R=true_R,
+        true_vel=true_vel,
     )
 
 
@@ -162,16 +234,23 @@ def build_sim_runner(
 
     tracker = slot_tracker_init(capacity)
 
-    def frame_step(carry, inputs):
+    pixel_noise = inputs.pixel_noise
+    sel_ids_all, sel_pts_all = inputs.sel_ids, inputs.sel_pts
+    true_pos, true_R, true_vel = inputs.true_pos, inputs.true_R, inputs.true_vel
+
+    def frame_step(carry, scan_in):
         state, tracker = carry
-        t_frame, widx, wdts = inputs
+        t_frame, widx, wdts, k_frame = scan_in
 
         imu_win = jax.tree.map(lambda a: a[widx], imu_all)
         state = F.propagate_window(state, imu_win, wdts, settings, suite)
 
-        cam_pts, selected = sim.get_vision(t_frame, camera, max_features)
-        tracker = slot_tracker_step(tracker, selected)
-        pixels, vis, ids, true_pts = gather_slots(cam_pts, tracker, camera)
+        tracker = slot_tracker_step_compact(tracker, sel_ids_all[k_frame])
+        pixels, vis, ids, true_pts = gather_slots_compact(
+            sel_ids_all[k_frame], sel_pts_all[k_frame], tracker, camera
+        )
+        if pixel_noise is not None:
+            pixels = pixels + pixel_noise[k_frame] * vis[:, None]
 
         if augment_true_landmarks:
             # main_sim path: lost landmarks removed, new landmarks initialised
@@ -181,16 +260,30 @@ def build_sim_runner(
             lost = state.xi0.mask & (~vis | ~same)
             state = F.remove_landmarks(state, lost, settings)
             new = vis & ~state.xi0.mask
-            # add at true position: xi0 landmark q0 chosen so phi_X(q0)=true
             state = _augment_true(state, new, ids, true_pts, settings)
             state = F.update_vision(state, pixels, vis, camera, settings, suite)
             state = F.remove_invalid_landmarks(state, settings)
         else:
             state = F.process_vision(state, pixels, vis, ids, camera, settings, suite)
 
-        # consistency against the true state, slot-aligned
-        true_full = sim.full_state(t_frame)
-        true_slots = _slot_true_state(true_full, state.xi0, capacity)
+        # consistency against the true state, slot-aligned from the compact
+        # selection (landmark truth = selected camera-frame points)
+        true_sensor = state.xi0.sensor._replace(
+            pose=SE3(true_R[k_frame], true_pos[k_frame]),
+            velocity=true_vel[k_frame],
+            bias=jnp.zeros_like(state.xi0.sensor.bias),
+            camera_offset=sim.camera_offset,
+        )
+        true_slots = VIOState(
+            sensor=true_sensor,
+            landmarks=jnp.where(
+                state.xi0.mask[:, None],
+                _lookup_true(sel_ids_all[k_frame], sel_pts_all[k_frame], state.xi0.ids),
+                jnp.asarray([0.0, 0.0, 1.0], dtype=true_pts.dtype),
+            ),
+            ids=state.xi0.ids,
+            mask=state.xi0.mask,
+        )
         nees = F.compute_nees(state, true_slots, suite, settings)
 
         est = F.state_estimate(state)
@@ -198,17 +291,19 @@ def build_sim_runner(
             est.sensor.pose.x,
             est.sensor.pose.R,
             est.sensor.velocity,
-            true_full.sensor.pose.x,
-            true_full.sensor.pose.R,
-            true_full.sensor.velocity,
+            true_pos[k_frame],
+            true_R[k_frame],
+            true_vel[k_frame],
             nees,
             jnp.sum(state.xi0.mask),
         )
         return (state, tracker), out
 
+    frame_ids = jnp.arange(ftimes.shape[0])
+
     @jax.jit
     def run_scan(state, tracker):
-        return jax.lax.scan(frame_step, (state, tracker), (ftimes, idx, dts))
+        return jax.lax.scan(frame_step, (state, tracker), (ftimes, idx, dts, frame_ids))
 
     def run() -> SimRunResult:
         (_, _), outs = run_scan(state, tracker)
@@ -234,6 +329,13 @@ def run_simulation(
     """Prepare inputs and run the full simulated VIO pipeline (convenience)."""
     inputs = prepare_sim_inputs(settings, **kwargs)
     return run_prepared(settings, inputs, augment_true_landmarks)
+
+
+def _lookup_true(sel_ids, sel_pts, slot_ids):
+    """Per-slot true camera-frame point by matching slot id in the selection."""
+    match = (slot_ids[:, None] == sel_ids[None, :]) & (sel_ids[None, :] >= 0)
+    src_idx = jnp.argmax(match, axis=1)
+    return sel_pts[src_idx]
 
 
 def _augment_true(state: F.EqFState, new_mask, ids, true_pts, settings: F.Settings):

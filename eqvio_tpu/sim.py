@@ -222,6 +222,26 @@ class Simulator(NamedTuple):
             mask=jnp.ones(P, dtype=bool),
         )
 
+    def get_vision_compact(self, t, camera, max_features: int):
+        """Selected world ids + camera-frame points at time t, compact form.
+
+        Returns ``(sel_ids [F], sel_pts [F, 3])`` with -1/dummy padding — the
+        vectorise-over-frames form: ``jax.vmap`` this over a whole sequence so
+        only F-sized work remains inside the tracking scan.
+        """
+        cam_pts, selected = self.get_vision(t, camera, max_features)
+        P = cam_pts.shape[0]
+        order = jnp.where(selected, jnp.arange(P, dtype=jnp.int32), P)
+        first = jnp.sort(order)[:max_features]
+        valid = first < P
+        safe = jnp.clip(first, 0, P - 1)
+        pts = cam_pts[safe]
+        dummy = jnp.asarray([0.0, 0.0, 1.0], dtype=cam_pts.dtype)
+        return (
+            jnp.where(valid, first, -1),
+            jnp.where(valid[:, None], pts, dummy),
+        )
+
     def get_vision(self, t, camera, max_features: int):
         """Visible world points at time t: camera-frame points, selection mask.
 
@@ -284,6 +304,55 @@ def slot_tracker_step(
     value_id = jnp.where(k < n_assign, new_ids[jnp.clip(k, 0, P - 1)], -1)
     slot_ids = slot_ids.at[target_slot].set(value_id, mode="drop")
     return SlotTrackerState(slot_ids)
+
+
+def slot_tracker_step_compact(
+    ts: SlotTrackerState, sel_ids: jnp.ndarray
+) -> SlotTrackerState:
+    """Compact tracker step on ``sel_ids [F]`` (world ids, -1 padded).
+
+    Identical slot semantics to :func:`slot_tracker_step` but all ops are
+    F- or N-sized — no P-sized work inside the scan.
+    """
+    N = ts.slot_ids.shape[0]
+    F_ = sel_ids.shape[0]
+    slot_ids = ts.slot_ids
+
+    in_sel = (slot_ids[:, None] == sel_ids[None, :]) & (sel_ids[None, :] >= 0)
+    still = (slot_ids >= 0) & jnp.any(in_sel, axis=1)
+    slot_ids = jnp.where(still, slot_ids, -1)
+
+    has_slot = jnp.any(sel_ids[:, None] == slot_ids[None, :], axis=1) & (sel_ids >= 0)
+    is_new = (sel_ids >= 0) & ~has_slot
+
+    free = slot_ids < 0
+    free_slots = jnp.sort(jnp.where(free, jnp.arange(N, dtype=jnp.int32), N))
+    new_pos = jnp.sort(jnp.where(is_new, jnp.arange(F_, dtype=jnp.int32), F_))
+    n_assign = jnp.minimum(jnp.sum(free), jnp.sum(is_new))
+    k = jnp.arange(N, dtype=jnp.int32)
+    target_slot = jnp.where(k < n_assign, free_slots[k], N)
+    src = jnp.clip(new_pos[jnp.clip(k, 0, F_ - 1)], 0, F_ - 1)
+    value_id = jnp.where(k < n_assign, sel_ids[src], -1)
+    slot_ids = slot_ids.at[target_slot].set(value_id, mode="drop")
+    return SlotTrackerState(slot_ids)
+
+
+def gather_slots_compact(
+    sel_ids: jnp.ndarray, sel_pts: jnp.ndarray, ts: SlotTrackerState, camera
+):
+    """Slot-aligned measurements from compact selection arrays.
+
+    Returns ``(pixels [N,2], vis [N], ids [N], true_points [N,3])``.
+    """
+    N = ts.slot_ids.shape[0]
+    match = (ts.slot_ids[:, None] == sel_ids[None, :]) & (sel_ids[None, :] >= 0)
+    vis = (ts.slot_ids >= 0) & jnp.any(match, axis=1)
+    src = jnp.argmax(match, axis=1)
+    pts = sel_pts[src]
+    dummy = jnp.asarray([0.0, 0.0, 1.0], dtype=sel_pts.dtype)
+    pts = jnp.where(vis[:, None], pts, dummy)
+    pixels = jnp.where(vis[:, None], camera.project(pts), 0.0)
+    return pixels, vis, ts.slot_ids, pts
 
 
 def gather_slots(cam_pts: jnp.ndarray, ts: SlotTrackerState, camera):

@@ -1,0 +1,75 @@
+"""I/O layer tests: writer formats, native async writer, config parsing."""
+
+import os
+
+import numpy as np
+import pytest
+
+from eqvio_tpu.io import VIOWriter, load_config, settings_from_config
+from eqvio_tpu.io.writer import rotation_to_quaternion
+
+
+def test_rotation_quaternion_roundtrip():
+    from eqvio_tpu.lie import so3_exp
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(10, 3))
+    R = np.asarray(so3_exp(jnp.asarray(w)))
+    q = rotation_to_quaternion(R)
+    # rebuild rotation from quaternion
+    for Ri, (qw, qx, qy, qz) in zip(R, q):
+        M = np.array([
+            [1 - 2 * (qy**2 + qz**2), 2 * (qx * qy - qw * qz), 2 * (qx * qz + qw * qy)],
+            [2 * (qx * qy + qw * qz), 1 - 2 * (qx**2 + qz**2), 2 * (qy * qz - qw * qx)],
+            [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx), 1 - 2 * (qx**2 + qy**2)],
+        ])
+        np.testing.assert_allclose(M, Ri, atol=1e-9)
+
+
+@pytest.mark.parametrize("streaming", [False, True])
+def test_writer_formats(tmp_path, streaming):
+    if streaming:
+        from eqvio_tpu.io import native
+
+        if not native.available():
+            pytest.skip("native writer unavailable")
+    out = str(tmp_path / f"out_{streaming}")
+    w = VIOWriter(out, streaming=streaming)
+    R = np.eye(3)
+    w.write_states(1.5, R, [1, 2, 3], [0.1, 0.2, 0.3], R, [0, 0, 0], np.zeros(6),
+                   landmarks=np.array([[0.0, 0.0, 2.0]]), landmark_ids=np.array([7]),
+                   landmark_mask=np.array([True]))
+    w.write_features(1.5, np.array([[100.0, 200.0]]), np.array([7]), np.array([True]))
+    w.flush()
+
+    lines = open(os.path.join(out, "IMUState.csv")).read().splitlines()
+    assert lines[0] == "time, px, py, pz, qw, qx, qy, qz, vx, vy, vz"
+    vals = [float(v) for v in lines[1].split(",")]
+    assert vals[:4] == [1.5, 1.0, 2.0, 3.0]
+    assert vals[4] == 1.0  # qw of identity
+
+    feats = open(os.path.join(out, "features.csv")).read().splitlines()
+    assert feats[0] == "time, z1id, z1x, z1y, ..."
+    assert feats[1].split(",")[1].strip() == "7"
+
+    pts = open(os.path.join(out, "points.csv")).read().splitlines()
+    # world point = R*p + x = (1, 2, 5)
+    vals = [float(v) for v in pts[1].split(",")[2:]]
+    np.testing.assert_allclose(vals, [1.0, 2.0, 5.0], atol=1e-9)
+
+
+def test_config_parsing(tmp_path):
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs", "config_template.yaml")
+    cfg = load_config(cfg_path)
+    s = settings_from_config(cfg)
+    assert s.coordinate_choice == "euclid"
+    assert s.initial_point_var == 5000.0
+    assert s.measurement_noise == 2.0
+    assert s.use_equivariant_output is True
+
+    # SE3 literal parsing
+    cfg["eqf"]["initialValue"]["cameraOffset"] = ["xw", 0.1, 0.2, 0.3, 1.0, 0.0, 0.0, 0.0]
+    s2 = settings_from_config(cfg)
+    assert s2.camera_offset_pos == (0.1, 0.2, 0.3)
+    assert s2.camera_offset_quat == (1.0, 0.0, 0.0, 0.0)
