@@ -1,0 +1,151 @@
+"""Offline trajectory analysis: the reference ``scripts/`` equivalent.
+
+Replaces ``scripts/analysis_tools.py`` / ``summarise_results.py``: loads the
+CSV outputs written by :mod:`eqvio_tpu.io.writer` (or by the reference
+binaries — same format), aligns against ground truth with SIM(3) Umeyama,
+computes RMSE statistics and failure flags, and writes a ``results.yaml``
+matching the reference's committed result-file schema
+(``configs/EQVIO_results_EuRoC_stationary.yaml``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import yaml
+
+from .runner import umeyama_alignment
+
+
+def load_imu_state_csv(path: str):
+    """Load IMUState.csv (or the reference's identical format)."""
+    data = np.genfromtxt(path, delimiter=",", skip_header=1)
+    return {
+        "t": data[:, 0],
+        "position": data[:, 1:4],
+        "quaternion": data[:, 4:8],  # (w, x, y, z)
+        "velocity": data[:, 8:11] if data.shape[1] >= 11 else None,
+    }
+
+
+def quat_to_rot(q: np.ndarray) -> np.ndarray:
+    """Quaternion [..., 4] (w,x,y,z) -> rotation matrices [..., 3, 3]."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    n = np.sqrt(w * w + x * x + y * y + z * z)
+    w, x, y, z = w / n, x / n, y / n, z / n
+    R = np.empty(q.shape[:-1] + (3, 3))
+    R[..., 0, 0] = 1 - 2 * (y * y + z * z)
+    R[..., 0, 1] = 2 * (x * y - w * z)
+    R[..., 0, 2] = 2 * (x * z + w * y)
+    R[..., 1, 0] = 2 * (x * y + w * z)
+    R[..., 1, 1] = 1 - 2 * (x * x + z * z)
+    R[..., 1, 2] = 2 * (y * z - w * x)
+    R[..., 2, 0] = 2 * (x * z - w * y)
+    R[..., 2, 1] = 2 * (y * z + w * x)
+    R[..., 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
+def _resample(t_src, x_src, t_dst):
+    """Linear interpolation of vector series onto target stamps."""
+    out = np.empty((len(t_dst),) + x_src.shape[1:])
+    for j in range(x_src.shape[1]):
+        out[:, j] = np.interp(t_dst, t_src, x_src[:, j])
+    return out
+
+
+def _stats(err: np.ndarray) -> dict:
+    """rmse/mean/std/med/min/max block (analysis_tools.py:274-284)."""
+    mag = np.linalg.norm(err, axis=-1) if err.ndim > 1 else np.abs(err)
+    return {
+        "rmse": float(np.sqrt(np.mean(mag**2))),
+        "mean": float(np.mean(mag)),
+        "std": float(np.std(mag)),
+        "med": float(np.median(mag)),
+        "min": float(np.min(mag)),
+        "max": float(np.max(mag)),
+    }
+
+
+def analyse_trajectory(
+    est_t, est_pos, est_quat, gt_t, gt_pos, gt_quat, est_vel=None, gt_vel=None
+) -> dict:
+    """SIM(3)-aligned trajectory error analysis (analysis_tools.py:85-183).
+
+    Returns a dict with position/attitude/velocity stats, scale, flags.
+    """
+    # truncate to common time range and resample GT onto estimate stamps
+    lo = max(est_t[0], gt_t[0])
+    hi = min(est_t[-1], gt_t[-1])
+    keep = (est_t >= lo) & (est_t <= hi)
+    flags = {
+        "nan": bool(np.any(np.isnan(est_pos))),
+        "early_finish": bool((est_t[-1] - est_t[0]) < 0.9 * (gt_t[-1] - gt_t[0])),
+    }
+    est_t, est_pos, est_quat = est_t[keep], est_pos[keep], est_quat[keep]
+    if est_vel is not None:
+        est_vel = est_vel[keep]
+    gt_pos_r = _resample(gt_t, gt_pos, est_t)
+    gt_quat_r = _resample(gt_t, gt_quat, est_t)
+
+    s, R, tr = umeyama_alignment(est_pos, gt_pos_r, with_scale=True)
+    aligned = (s * (R @ est_pos.T)).T + tr
+    pos_err = aligned - gt_pos_r
+
+    # attitude error after aligning the estimate attitude by R
+    R_est = quat_to_rot(est_quat)
+    R_gt = quat_to_rot(gt_quat_r)
+    att_err = []
+    for Re, Rg in zip(R_est, R_gt):
+        dR = Rg.T @ (R @ Re)
+        c = np.clip((np.trace(dR) - 1) / 2, -1, 1)
+        att_err.append(np.degrees(np.arccos(c)))
+    att_err = np.asarray(att_err)
+
+    traj_len = float(np.sum(np.linalg.norm(np.diff(gt_pos_r, axis=0), axis=-1)))
+
+    result = {
+        "position (m)": _stats(pos_err),
+        "attitude (d)": _stats(att_err),
+        "scale": float(s),
+        "length (m)": traj_len,
+        "flags": flags,
+    }
+    if est_vel is not None and gt_vel is not None:
+        gt_vel_r = _resample(gt_t, gt_vel, est_t)
+        vel_err = (s * (R @ est_vel.T)).T - gt_vel_r
+        result["velocity (m/s)"] = _stats(vel_err)
+    return result
+
+
+def analyse_output_dir(output_dir: str, gt_csv: str, gt_time_scale: float = 1e-9) -> dict:
+    """Analyse a run's output directory against an ASL ground-truth CSV."""
+    est = load_imu_state_csv(os.path.join(output_dir, "IMUState.csv"))
+    gt = np.genfromtxt(gt_csv, delimiter=",", skip_header=1)
+    gt_t = gt[:, 0] * gt_time_scale
+    res = analyse_trajectory(
+        est["t"], est["position"], est["quaternion"],
+        gt_t, gt[:, 1:4], gt[:, 4:8],
+        est_vel=est["velocity"],
+        gt_vel=gt[:, 8:11] if gt.shape[1] >= 11 else None,
+    )
+    with open(os.path.join(output_dir, "results.yaml"), "w") as f:
+        yaml.safe_dump(res, f)
+    return res
+
+
+def summarise_results(result_files: list[str]) -> dict:
+    """Aggregate per-sequence results.yaml files (summarise_results.py:58-92)."""
+    summary = {}
+    rmses = []
+    for path in result_files:
+        with open(path) as f:
+            res = yaml.safe_load(f)
+        name = os.path.basename(os.path.dirname(path))
+        summary[name] = res
+        if not res["flags"]["nan"] and not res["flags"]["early_finish"]:
+            rmses.append(res["position (m)"]["rmse"])
+    summary["mean position rmse"] = float(np.mean(rmses)) if rmses else float("nan")
+    summary["completed"] = len(rmses)
+    return summary

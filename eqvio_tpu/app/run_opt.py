@@ -128,7 +128,21 @@ def run_dataset(
 
         loop_timer.start_timing("features")
         img = jnp.asarray(meas.data, dtype=jnp.float32)
-        tracker = jit_tracker(tracker, img)
+        if settings.use_feature_predictions:
+            # predict feature pixels from the forward-propagated state
+            # (reference getFeaturePredictions, VIOFilter.cpp:247-252)
+            est = F.state_estimate(state)
+            pred_px = np.asarray(camera.project(est.landmarks), dtype=np.float32)
+            predicted = jnp.where(
+                jnp.asarray(np.asarray(est.mask))[:, None],
+                jnp.asarray(pred_px),
+                tracker.positions,
+            )
+            tracker = jax.jit(
+                lambda ts, im, pr: tracker_step(ts, im, tcfg, predicted=pr)
+            )(tracker, img, predicted)
+        else:
+            tracker = jit_tracker(tracker, img)
         pixels = jnp.asarray(tracker.positions, dtype=dtype)
         vis = tracker.mask
         ids = tracker.ids

@@ -350,12 +350,29 @@ def propagate_window(
         )
         state = integrate_riccati_fast(state, mean_imu, total, settings, suite)
 
-        def body(s, inp):
-            imu_i, dt_i = inp
-            s = integrate_observer(s, imu_i, dt_i, settings)
-            return s, None
+        if settings.use_discrete_velocity_lift:
+            # fused observer: integrate the estimate cheaply, then apply ONE
+            # exact group element for the whole window (identical to chaining
+            # per-sample discrete lifts, far fewer sequential ops)
+            from .group import group_element_between
 
-        state, _ = jax.lax.scan(body, state, (imu_window, dts))
+            xi_hat0 = state_estimate(state)
+
+            def int_body(x, inp):
+                imu_i, dt_i = inp
+                return integrate_system(x, imu_i, dt_i), None
+
+            xi_hatK, _ = jax.lax.scan(int_body, xi_hat0, (imu_window, dts))
+            L = group_element_between(xi_hat0, xi_hatK)
+            state = state._replace(X=group_normalize(group_mul(state.X, L)))
+        else:
+
+            def body(s, inp):
+                imu_i, dt_i = inp
+                s = integrate_observer(s, imu_i, dt_i, settings)
+                return s, None
+
+            state, _ = jax.lax.scan(body, state, (imu_window, dts))
     else:
 
         def body(s, inp):

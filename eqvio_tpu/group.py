@@ -238,6 +238,30 @@ def lift_velocity_discrete(state: VIOState, imu: IMU, dt) -> VIOGroup:
     return VIOGroup(beta=beta, A=A, w=w, B=B, Q=SOT3(Q_R, Q_a))
 
 
+def group_element_between(xi0: VIOState, xi1: VIOState) -> VIOGroup:
+    """The group element L with ``phi_L(xi0) = xi1`` (transitive-action inverse).
+
+    Generalises the single-step discrete lift (``VIOGroup.cpp:229-271``): the
+    observer update for a whole IMU window collapses to integrating the
+    estimate and composing with this one element — mathematically identical
+    to chaining per-sample discrete lifts, at a fraction of the op count.
+    """
+    beta = xi1.sensor.bias - xi0.sensor.bias
+    A = se3_mul(se3_inv(xi0.sensor.pose), xi1.sensor.pose)
+    w = xi0.sensor.velocity - jnp.einsum(
+        "...ij,...j->...i", A.R, xi1.sensor.velocity
+    )
+    B = se3_mul(
+        se3_inv(xi0.sensor.camera_offset), se3_mul(A, xi1.sensor.camera_offset)
+    )
+    p0, p1 = xi0.landmarks, xi1.landmarks
+    n0 = jnp.clip(jnp.linalg.norm(p0, axis=-1), 1e-30, None)
+    n1 = jnp.clip(jnp.linalg.norm(p1, axis=-1), 1e-30, None)
+    Q_R = so3_from_vectors(p1 / n1[..., None], p0 / n0[..., None])
+    Q_a = n0 / n1
+    return VIOGroup(beta, A, w, B, SOT3(Q_R, Q_a))
+
+
 def group_normalize(x: VIOGroup) -> VIOGroup:
     """Project all rotation blocks back onto SO(3).
 

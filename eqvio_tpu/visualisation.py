@@ -1,0 +1,88 @@
+"""Offline visualisation: trajectory, landmarks and feature overlays.
+
+Replaces the reference's live GLUT/OpenCV display stack
+(``src/VIOVisualiser.cpp``, ``libs/visualisation/Plotter``) with headless
+matplotlib figure generation — the practical form for TPU pods with no
+display.  Includes the online SIM(3) alignment of estimate to ground truth
+that the reference visualiser performs (``VIOVisualiser.cpp:25-110``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .runner import umeyama_alignment
+
+
+def plot_trajectory(est_pos, gt_pos=None, path: str | None = None, align: bool = True):
+    """3-D + top-down trajectory figure; optionally SIM(3)-aligned to GT."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    est_pos = np.asarray(est_pos)
+    if gt_pos is not None and align:
+        s, R, t = umeyama_alignment(est_pos, np.asarray(gt_pos))
+        est_pos = (s * (R @ est_pos.T)).T + t
+
+    fig = plt.figure(figsize=(12, 5))
+    ax3 = fig.add_subplot(1, 2, 1, projection="3d")
+    ax3.plot(*est_pos.T, label="estimate")
+    if gt_pos is not None:
+        ax3.plot(*np.asarray(gt_pos).T, "--", label="ground truth")
+    ax3.legend()
+    ax3.set_title("trajectory")
+
+    ax2 = fig.add_subplot(1, 2, 2)
+    ax2.plot(est_pos[:, 0], est_pos[:, 1], label="estimate")
+    if gt_pos is not None:
+        g = np.asarray(gt_pos)
+        ax2.plot(g[:, 0], g[:, 1], "--", label="ground truth")
+    ax2.set_aspect("equal")
+    ax2.set_title("top-down (xy)")
+    ax2.legend()
+
+    if path:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return path
+    return fig
+
+
+def plot_feature_overlay(image, pixels, mask, path: str | None = None):
+    """Feature positions drawn over a frame (VIOVisualiser::displayFeatureImage)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.imshow(np.asarray(image), cmap="gray")
+    px = np.asarray(pixels)[np.asarray(mask)]
+    ax.scatter(px[:, 0], px[:, 1], s=40, facecolors="none", edgecolors="lime")
+    ax.set_axis_off()
+    if path:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return path
+    return fig
+
+
+def plot_nees(times, nees, path: str | None = None):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(10, 4))
+    ax.plot(np.asarray(times), np.asarray(nees))
+    ax.axhline(1.0, color="k", linestyle="--", alpha=0.5)
+    ax.set_yscale("log")
+    ax.set_xlabel("time (s)")
+    ax.set_ylabel("NEES")
+    if path:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return path
+    return fig

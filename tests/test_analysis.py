@@ -1,0 +1,67 @@
+"""Analysis-module tests: alignment correctness and results.yaml schema."""
+
+import numpy as np
+import yaml
+
+from eqvio_tpu.analysis import analyse_trajectory, summarise_results
+from eqvio_tpu.io.writer import rotation_to_quaternion
+
+
+def _make_trajectories(n=200, noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 20, n)
+    gt_pos = np.stack([np.cos(t), np.sin(t), 0.1 * t], axis=-1)
+    gt_quat = np.tile([1.0, 0, 0, 0], (n, 1))
+    # estimate = similarity-transformed GT + noise
+    from eqvio_tpu.lie import so3_exp
+    import jax.numpy as jnp
+
+    R = np.asarray(so3_exp(jnp.asarray([0.2, -0.1, 0.5])))
+    s, off = 1.3, np.array([5.0, -2.0, 1.0])
+    est_pos = ((gt_pos - off) @ R) / s + rng.normal(scale=noise, size=(n, 3))
+    est_quat = np.tile(rotation_to_quaternion(R.T), (n, 1))
+    return t, est_pos, est_quat, gt_pos, gt_quat
+
+
+def test_alignment_recovers_similarity():
+    t, est_pos, est_quat, gt_pos, gt_quat = _make_trajectories(noise=0.0)
+    res = analyse_trajectory(t, est_pos, est_quat, t, gt_pos, gt_quat)
+    assert res["position (m)"]["rmse"] < 1e-9
+    assert abs(res["scale"] - 1.3) < 1e-9
+    assert res["attitude (d)"]["rmse"] < 1e-6
+    assert not res["flags"]["nan"]
+    assert not res["flags"]["early_finish"]
+
+
+def test_noise_statistics():
+    t, est_pos, est_quat, gt_pos, gt_quat = _make_trajectories(noise=0.05)
+    res = analyse_trajectory(t, est_pos, est_quat, t, gt_pos, gt_quat)
+    # rmse of 3-d gaussian with sigma=0.05 per axis ~ 0.0866
+    assert 0.05 < res["position (m)"]["rmse"] < 0.15
+
+
+def test_early_finish_flag():
+    t, est_pos, est_quat, gt_pos, gt_quat = _make_trajectories()
+    half = len(t) // 2
+    res = analyse_trajectory(
+        t[:half], est_pos[:half], est_quat[:half], t, gt_pos, gt_quat
+    )
+    assert res["flags"]["early_finish"]
+
+
+def test_summarise(tmp_path):
+    import os
+
+    t, est_pos, est_quat, gt_pos, gt_quat = _make_trajectories()
+    res = analyse_trajectory(t, est_pos, est_quat, t, gt_pos, gt_quat)
+    paths = []
+    for name in ["seq_a", "seq_b"]:
+        d = tmp_path / name
+        d.mkdir()
+        p = str(d / "results.yaml")
+        with open(p, "w") as f:
+            yaml.safe_dump(res, f)
+        paths.append(p)
+    summary = summarise_results(paths)
+    assert summary["completed"] == 2
+    assert summary["mean position rmse"] < 1e-9
