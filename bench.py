@@ -54,7 +54,9 @@ def main():
         num_walls=4,
         dtype=jnp.float32,
     )
-    run = build_sim_runner(settings, inputs, augment_true_landmarks=False)
+    # NEES is an eqvio_sim-only diagnostic; the throughput-comparable reference
+    # path (eqvio_opt) does not compute it per frame
+    run = build_sim_runner(settings, inputs, augment_true_landmarks=False, compute_nees=False)
 
     # warm-up / compile
     res = run()

@@ -90,6 +90,7 @@ class Settings:
     use_discrete_innovation_lift: bool = True
     use_discrete_velocity_lift: bool = True
     use_discrete_state_matrix: bool = False
+    use_accurate_riccati: bool = False  # reference default when !fastRiccati
     fast_riccati: bool = False
     use_median_depth: bool = True
     use_feature_predictions: bool = False
@@ -316,6 +317,10 @@ def propagate(
         suite = settings.suite
     if settings.use_discrete_state_matrix:
         state = integrate_riccati_discrete(state, imu, dt, settings, suite)
+    elif settings.use_accurate_riccati:
+        # matrix-exponential per sample (the reference's default when
+        # fastRiccati is off, VIOFilter.cpp:165-175)
+        state = integrate_riccati_accurate(state, imu, dt, settings, suite)
     else:
         state = integrate_riccati_fast(state, imu, dt, settings, suite)
     state = integrate_observer(state, imu, dt, settings)

@@ -89,6 +89,12 @@ def settings_from_config(cfg: dict) -> Settings:
         use_discrete_innovation_lift=g("settings:useDiscreteInnovationLift", True),
         use_discrete_velocity_lift=g("settings:useDiscreteVelocityLift", True),
         use_discrete_state_matrix=g("settings:useDiscreteStateMatrix", False),
+        # reference semantics: when fastRiccati is off and the discrete state
+        # matrix is off, per-sample propagation uses the matrix exponential
+        use_accurate_riccati=(
+            not g("settings:fastRiccati", False)
+            and not g("settings:useDiscreteStateMatrix", False)
+        ),
         fast_riccati=g("settings:fastRiccati", False),
         use_median_depth=g("settings:useMedianDepth", True),
         use_feature_predictions=g("settings:useFeaturePredictions", False),

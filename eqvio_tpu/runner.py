@@ -218,6 +218,7 @@ def build_sim_runner(
     settings: F.Settings,
     inputs: SimInputs,
     augment_true_landmarks: bool = True,
+    compute_nees: bool = True,
 ):
     """Build a reusable jitted whole-sequence runner ``() -> SimRunResult``.
 
@@ -284,7 +285,10 @@ def build_sim_runner(
             ids=state.xi0.ids,
             mask=state.xi0.mask,
         )
-        nees = F.compute_nees(state, true_slots, suite, settings)
+        if compute_nees:
+            nees = F.compute_nees(state, true_slots, suite, settings)
+        else:
+            nees = jnp.asarray(jnp.nan, dtype=true_pos.dtype)
 
         est = F.state_estimate(state)
         out = (
@@ -316,9 +320,10 @@ def run_prepared(
     settings: F.Settings,
     inputs: SimInputs,
     augment_true_landmarks: bool = True,
+    compute_nees: bool = True,
 ) -> SimRunResult:
     """Run the jitted whole-sequence scan on prepared inputs."""
-    return build_sim_runner(settings, inputs, augment_true_landmarks)()
+    return build_sim_runner(settings, inputs, augment_true_landmarks, compute_nees)()
 
 
 def run_simulation(
