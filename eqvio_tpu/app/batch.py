@@ -1,0 +1,73 @@
+"""Batch dataset runner + analysis: the ``run_and_analyse_dataset.py`` equivalent.
+
+Reads a dataset-list YAML (same shape as the reference's
+``scripts/euroc_sequences.yaml``: name/location/mode/camera/start per entry),
+runs the full pipeline over each sequence, analyses each output directory
+against its ground truth, and writes the roll-up summary
+(``summarise_results.py`` equivalent).
+
+Usage:
+    python -m eqvio_tpu.app.batch datasets.yaml config.yaml --output out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import yaml
+
+from ..analysis import analyse_output_dir, summarise_results
+from ..io import load_config
+from .run_opt import run_dataset
+
+
+def run_batch(dataset_list: str, config_path: str, output_root: str):
+    with open(dataset_list) as f:
+        datasets = yaml.safe_load(f)
+    config = load_config(config_path)
+
+    result_files = []
+    for entry in datasets.get("datasets", datasets if isinstance(datasets, list) else []):
+        name = entry["name"]
+        out_dir = os.path.join(output_root, name)
+        print(f"=== {name} ===")
+        _, summary = run_dataset(
+            entry["location"],
+            config,
+            mode=entry.get("mode", "asl"),
+            output_dir=out_dir,
+            start=entry.get("start"),
+            stop=entry.get("stop"),
+            camera_yaml=entry.get("camera"),
+            timing=True,
+        )
+        print(f"  {summary['frames']} frames @ {summary['fps']:.1f} fps")
+        gt = entry.get("groundtruth") or os.path.join(
+            entry["location"], "mav0", "state_groundtruth_estimate0", "data.csv"
+        )
+        if os.path.exists(gt):
+            res = analyse_output_dir(out_dir, gt)
+            print(f"  position rmse: {res['position (m)']['rmse']:.4f} m  "
+                  f"scale: {res['scale']:.4f}")
+            result_files.append(os.path.join(out_dir, "results.yaml"))
+
+    summary = summarise_results(result_files)
+    with open(os.path.join(output_root, "summary.yaml"), "w") as f:
+        yaml.safe_dump(summary, f)
+    print(f"mean position rmse: {summary['mean position rmse']:.4f} m "
+          f"({summary['completed']} sequences)")
+    return summary
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("datasets")
+    ap.add_argument("config")
+    ap.add_argument("--output", default="batch_out")
+    args = ap.parse_args(argv)
+    run_batch(args.datasets, args.config, args.output)
+
+
+if __name__ == "__main__":
+    main()

@@ -276,18 +276,23 @@ def integrate_riccati_accurate(
     """
     D = state.xi0.dim()
     dtype = state.Sigma.dtype
+    # guard zero-dt padding entries (the reference's `dt > 0` branch,
+    # VIOFilter.cpp:165): compute with a safe dt and select the identity step
+    dt = jnp.asarray(dt, dtype=dtype)
+    dt_safe = jnp.where(dt > 0, dt, 1.0)
     A0t = suite.state_matrix_A(state.X, state.xi0, imu)
     Bt = suite.input_matrix_B(state.X, state.xi0)
     AB = jnp.zeros((D + 12, D + 12), dtype=dtype)
     AB = AB.at[:D, :D].set(A0t)
     AB = AB.at[:D, D:].set(Bt)
-    ABexp = jax.scipy.linalg.expm(dt * AB)
+    ABexp = jax.scipy.linalg.expm(dt_safe * AB)
     A_exp = ABexp[:D, :D]
     B_exp = ABexp[:D, D:]
-    Q_in = B_exp * (settings.input_gain_diag(dtype) / dt)[None, :] @ B_exp.T
+    Q_in = B_exp * (settings.input_gain_diag(dtype) / dt_safe)[None, :] @ B_exp.T
     P = jnp.diag(settings.state_gain_diag(state.xi0.capacity, dtype)) * _mask_outer(state.xi0)
-    Sigma = A_exp @ state.Sigma @ A_exp.T + Q_in + dt * P
+    Sigma = A_exp @ state.Sigma @ A_exp.T + Q_in + dt_safe * P
     Sigma = 0.5 * (Sigma + Sigma.T)
+    Sigma = jnp.where(dt > 0, Sigma, state.Sigma)
     return state._replace(Sigma=sanitize_sigma(Sigma, state.xi0, settings))
 
 

@@ -92,12 +92,17 @@ def track_features(
     win: int = 21,
     iters: int = 8,
     max_error: float = 0.05,
+    use_pallas: bool = False,
 ):
     """Track all features from ``pyr_prev`` to ``pyr_next``.
 
     Returns ``(new_positions [N, 2], tracked [N])`` where ``tracked`` clears
     features that left the image or exceeded ``max_error`` mean residual
     (GIFT ``maxError``).
+
+    ``use_pallas`` switches large-enough pyramid levels to the VMEM-resident
+    Pallas kernel (``pallas_klt.py``); small levels fall back to the vmapped
+    JAX path.
     """
     dtype = positions.dtype
     levels = len(pyr_prev)
@@ -117,7 +122,30 @@ def track_features(
             )
         return p, err
 
-    new_pos, errs = jax.vmap(track_one)(positions, predicted)
+    if use_pallas:
+        from .pallas_klt import _COLS, _ROWS, klt_track_level_pallas
+
+        scale0 = 2.0 ** (levels - 1)
+        p = predicted / scale0
+        errs = jnp.zeros(positions.shape[0], dtype=jnp.float32)
+        for lvl in range(levels - 1, -1, -1):
+            s = 2.0**lvl
+            if lvl < levels - 1:
+                p = p * 2.0
+            Hl, Wl = pyr_prev[lvl].shape
+            if Hl >= _ROWS and Wl >= _COLS:
+                p, errs = klt_track_level_pallas(
+                    pyr_prev[lvl], pyr_next[lvl], positions / s, p, win=win, iters=iters
+                )
+            else:
+                p, errs = jax.vmap(
+                    lambda pos_i, g_i: _track_level(
+                        pyr_prev[lvl], pyr_next[lvl], pos_i, g_i, win, iters, dtype
+                    )
+                )(positions / s, p)
+        new_pos, errs = p.astype(dtype), errs.astype(dtype)
+    else:
+        new_pos, errs = jax.vmap(track_one)(positions, predicted)
     margin = (win - 1) / 2 + 2
     inside = (
         (new_pos[:, 0] >= margin)

@@ -1,14 +1,19 @@
 """Pallas TPU kernel for Lucas-Kanade patch tracking.
 
 The KLT inner loop is gather-bound: per feature, per iteration, it needs
-bilinear patches from two images at fractional positions.  XLA lowers this to
-general gathers; this kernel instead keeps both pyramid images resident in
-VMEM and extracts patches with dynamic slices (one per feature via the grid),
-so the inner iteration runs entirely out of on-chip memory.
+bilinear patches from two images at fractional positions.  XLA lowers this
+to general gathers; this kernel keeps both pyramid images resident in VMEM
+and expresses patch extraction the TPU-idiomatic way:
 
-Grid: one program per feature.  Patch window is compile-time static
-(``win``); images must fit VMEM (true for pyramid levels of VGA-class video:
-752 x 480 x f32 = 1.4 MB).
+- **aligned block loads**: a (32, 256) tile at a sublane/lane-aligned corner
+  covering the patch neighbourhood (no unaligned dynamic slices, which
+  Mosaic rejects on the lane dimension);
+- **interpolation as matmul**: bilinear sampling is two 1-D linear
+  interpolations, built as tiny selection matrices from ``broadcasted_iota``
+  and applied on the MXU — zero gathers anywhere.
+
+Grid: one program per feature.  Images must fit VMEM (true for pyramid
+levels of VGA-class video: 752 x 480 x f32 = 1.4 MB).
 
 Falls back to the pure-JAX implementation (``klt.py``) off-TPU.
 """
@@ -22,51 +27,74 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_ROWS = 32  # aligned block rows loaded per feature (>= win + 3, multiple of 8)
+_COLS = 256  # aligned block cols (>= 128 + win + 3, multiple of 128)
 
-def _bilinear_patch(img_ref, x, y, win: int):
-    """Bilinear ``win x win`` patch at fractional (x, y) top-left corner.
 
-    Loads a static (win+1, win+1) slice at the integer corner and blends the
-    four integer-shifted views — no gathers.
+def _interp_matrices(off_r, off_c, fr, fc, win: int, dtype):
+    """Row/col linear-interpolation selection matrices.
+
+    ``R [win, _ROWS]`` with ``R[i, r] = (1-fr)*[r==off_r+i] + fr*[r==off_r+i+1]``
+    and ``C [_COLS, win]`` likewise — so ``R @ block @ C`` is the bilinear
+    ``win x win`` patch at fractional offset ``(off_r+fr, off_c+fc)``.
     """
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = x - x0.astype(x.dtype)
-    fy = y - y0.astype(y.dtype)
-    raw = img_ref[pl.ds(y0, win + 1), pl.ds(x0, win + 1)]
-    i00 = raw[:win, :win]
-    i01 = raw[:win, 1:]
-    i10 = raw[1:, :win]
-    i11 = raw[1:, 1:]
-    return (
-        i00 * (1 - fx) * (1 - fy)
-        + i01 * fx * (1 - fy)
-        + i10 * (1 - fx) * fy
-        + i11 * fx * fy
+    rows = jax.lax.broadcasted_iota(jnp.int32, (win, _ROWS), 1)
+    tgt_r = jax.lax.broadcasted_iota(jnp.int32, (win, _ROWS), 0) + off_r
+    R = (rows == tgt_r).astype(dtype) * (1.0 - fr) + (rows == tgt_r + 1).astype(dtype) * fr
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (_COLS, win), 0)
+    tgt_c = jax.lax.broadcasted_iota(jnp.int32, (_COLS, win), 1) + off_c
+    C = (cols == tgt_c).astype(dtype) * (1.0 - fc) + (cols == tgt_c + 1).astype(dtype) * fc
+    return R, C
+
+
+def _block_corner(x, y, W: int, H: int):
+    """Aligned block corner covering [y-1, y+win+1] x [x-1, x+win+1]."""
+    x0 = jnp.floor(x).astype(jnp.int32) - 1
+    y0 = jnp.floor(y).astype(jnp.int32) - 1
+    xa = jnp.clip((x0 // 128) * 128, 0, W - _COLS)
+    ya = jnp.clip((y0 // 8) * 8, 0, H - _ROWS)
+    return xa, ya
+
+
+def _patch(block, xa, ya, x, y, win: int, dtype):
+    """Bilinear patch at absolute fractional (x, y) from an aligned block."""
+    fx = x - jnp.floor(x)
+    fy = y - jnp.floor(y)
+    off_c = jnp.floor(x).astype(jnp.int32) - xa
+    off_r = jnp.floor(y).astype(jnp.int32) - ya
+    R, C = _interp_matrices(off_r, off_c, fy.astype(dtype), fx.astype(dtype), win, dtype)
+    return jax.lax.dot_general(
+        jax.lax.dot_general(
+            R, block, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ),
+        C,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
 
 def _klt_kernel(pos_ref, guess_ref, img_prev_ref, img_next_ref,
-                out_pos_ref, out_err_ref, *, win: int, iters: int):
+                out_pos_ref, out_err_ref, *, win: int, iters: int,
+                H: int, W: int):
     i = pl.program_id(0)
-    H = img_prev_ref.shape[0]
-    W = img_prev_ref.shape[1]
+    dtype = jnp.float32
     r = (win - 1) * 0.5
 
     px = pos_ref[i, 0]
     py = pos_ref[i, 1]
-    # clamp the template corner inside the image
-    tx = jnp.clip(px - r, 1.0, W - win - 2.0)
-    ty = jnp.clip(py - r, 1.0, H - win - 2.0)
+    # template corner, clamped so the aligned block stays in the image
+    tx = jnp.clip(px - r, 2.0, W - win - 3.0)
+    ty = jnp.clip(py - r, 2.0, H - win - 3.0)
+    xa, ya = _block_corner(tx, ty, W, H)
+    block_prev = img_prev_ref[pl.ds(ya, _ROWS), pl.ds(xa, _COLS)]
 
-    template = _bilinear_patch(img_prev_ref, tx, ty, win)
-    gx = (
-        _bilinear_patch(img_prev_ref, tx + 1.0, ty, win)
-        - _bilinear_patch(img_prev_ref, tx - 1.0, ty, win)
+    template = _patch(block_prev, xa, ya, tx, ty, win, dtype)
+    gx = _patch(block_prev, xa, ya, tx + 1.0, ty, win, dtype) - _patch(
+        block_prev, xa, ya, tx - 1.0, ty, win, dtype
     )
-    gy = (
-        _bilinear_patch(img_prev_ref, tx, ty + 1.0, win)
-        - _bilinear_patch(img_prev_ref, tx, ty - 1.0, win)
+    gy = _patch(block_prev, xa, ya, tx, ty + 1.0, win, dtype) - _patch(
+        block_prev, xa, ya, tx, ty - 1.0, win, dtype
     )
     gxx = jnp.sum(gx * gx)
     gxy = jnp.sum(gx * gy)
@@ -76,9 +104,11 @@ def _klt_kernel(pos_ref, guess_ref, img_prev_ref, img_next_ref,
 
     def body(_, carry):
         cx, cy, _err = carry
-        qx = jnp.clip(cx - r, 1.0, W - win - 2.0)
-        qy = jnp.clip(cy - r, 1.0, H - win - 2.0)
-        patch = _bilinear_patch(img_next_ref, qx, qy, win)
+        qx = jnp.clip(cx - r, 2.0, W - win - 3.0)
+        qy = jnp.clip(cy - r, 2.0, H - win - 3.0)
+        xb, yb = _block_corner(qx, qy, W, H)
+        block_next = img_next_ref[pl.ds(yb, _ROWS), pl.ds(xb, _COLS)]
+        patch = _patch(block_next, xb, yb, qx, qy, win, dtype)
         diff = patch - template
         bx = jnp.sum(diff * gx)
         by = jnp.sum(diff * gy)
@@ -90,7 +120,7 @@ def _klt_kernel(pos_ref, guess_ref, img_prev_ref, img_next_ref,
     gx0 = guess_ref[i, 0]
     gy0 = guess_ref[i, 1]
     fx_, fy_, err = jax.lax.fori_loop(
-        0, iters, body, (gx0, gy0, jnp.asarray(jnp.inf, dtype=jnp.float32))
+        0, iters, body, (gx0, gy0, jnp.asarray(jnp.inf, dtype=dtype))
     )
     # correct for template-corner clamping: result tracks the patch centre
     out_pos_ref[i, 0] = fx_ + (px - (tx + r))
@@ -107,10 +137,17 @@ def klt_track_level_pallas(
     iters: int = 8,
     interpret: bool = False,
 ):
-    """Track all N features one pyramid level. Returns (positions [N,2], err [N])."""
+    """Track all N features one pyramid level. Returns (positions [N,2], err [N]).
+
+    Requires image width >= 256 and height >= 32 (aligned-block loads).
+    """
     N = positions.shape[0]
+    H, W = img_prev.shape
+    if H < _ROWS or W < _COLS:
+        raise ValueError(f"image {H}x{W} too small for the pallas kernel "
+                         f"(needs >= {_ROWS}x{_COLS}); use the JAX path")
     out_pos, out_err = pl.pallas_call(
-        functools.partial(_klt_kernel, win=win, iters=iters),
+        functools.partial(_klt_kernel, win=win, iters=iters, H=H, W=W),
         grid=(N,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -34,6 +34,7 @@ class TrackerConfig:
     max_level: int = 3
     max_error: float = 0.05
     equalize_histogram: bool = False
+    use_pallas: bool = False  # VMEM-resident Pallas KLT kernel on TPU
 
 
 class TrackerState(NamedTuple):
@@ -85,6 +86,7 @@ def tracker_step(
         predicted=predicted,
         win=config.win_size,
         max_error=config.max_error,
+        use_pallas=config.use_pallas,
     )
     positions = jnp.where(tracked[:, None], new_pos, state.positions)
     ids = jnp.where(tracked, state.ids, -1)

@@ -219,8 +219,12 @@ def build_sim_runner(
     inputs: SimInputs,
     augment_true_landmarks: bool = True,
     compute_nees: bool = True,
+    batch: int | None = None,
 ):
     """Build a reusable jitted whole-sequence runner ``() -> SimRunResult``.
+
+    ``batch``: run B independent filter instances of the same sequence in one
+    vmapped program (outputs gain a leading batch axis).
 
     The returned callable reuses one jit cache entry, so repeated invocations
     (benchmarking, Monte-Carlo sweeps) pay zero retrace cost.
@@ -309,11 +313,25 @@ def build_sim_runner(
     def run_scan(state, tracker):
         return jax.lax.scan(frame_step, (state, tracker), (ftimes, idx, dts, frame_ids))
 
-    def run() -> SimRunResult:
-        (_, _), outs = run_scan(state, tracker)
+    if batch is None:
+        def run() -> SimRunResult:
+            (_, _), outs = run_scan(state, tracker)
+            return SimRunResult(ftimes, *outs)
+
+        return run
+
+    # batch-of-sequences mode: the whole scan vmapped over B identical
+    # filter instances — the single-chip form of the reference's serial
+    # multi-sequence driver (run_and_analyse_dataset.py:46-49)
+    states_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (batch,) + a.shape), state)
+    tracker_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (batch,) + a.shape), tracker)
+    vrun = jax.jit(jax.vmap(lambda s, tr: run_scan(s, tr)))
+
+    def run_batch() -> SimRunResult:
+        (_, _), outs = vrun(states_b, tracker_b)
         return SimRunResult(ftimes, *outs)
 
-    return run
+    return run_batch
 
 
 def run_prepared(

@@ -1,0 +1,34 @@
+"""Pallas KLT kernel vs the pure-JAX reference implementation (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eqvio_tpu.frontend.klt import _track_level
+from eqvio_tpu.frontend.pallas_klt import klt_track_level_pallas
+
+H, W = 128, 384
+
+
+def render(points, sigma=1.5):
+    ys, xs = np.mgrid[0:H, 0:W]
+    img = np.zeros((H, W), dtype=np.float32)
+    for x, y in points:
+        img += np.exp(-((xs - x) ** 2 + (ys - y) ** 2) / (2 * sigma**2))
+    return jnp.asarray(np.clip(img, 0, 1))
+
+
+def test_pallas_klt_matches_reference():
+    rng = np.random.default_rng(3)
+    pts = rng.uniform([25, 25], [W - 25, H - 25], size=(6, 2)).astype(np.float32)
+    shift = np.array([2.3, -1.7], dtype=np.float32)
+    img0 = render(pts)
+    img1 = render(pts + shift)
+
+    pos = jnp.asarray(pts)
+    out_pos, err = klt_track_level_pallas(
+        img0, img1, pos, pos, win=15, iters=8, interpret=True
+    )
+    track_err = np.linalg.norm(np.asarray(out_pos) - (pts + shift), axis=-1)
+    assert track_err.max() < 0.3, track_err
+    assert np.all(np.asarray(err) < 0.05)
