@@ -82,7 +82,7 @@ def main():
 
     # batch-of-sequences aggregate throughput (the reference runs sequences
     # serially; one chip can run many filter instances in one program)
-    B = int(os.environ.get("BENCH_BATCH", "8"))
+    B = int(os.environ.get("BENCH_BATCH", "32"))
     if B > 1:
         run_b = build_sim_runner(
             settings, inputs, augment_true_landmarks=False, compute_nees=False, batch=B

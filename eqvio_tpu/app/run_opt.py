@@ -58,6 +58,7 @@ def run_dataset(
     imu_window: int = 32,
     dtype=jnp.float64,
     limit_frames: int | None = None,
+    simvis: bool = False,
 ):
     """Run the full real-data pipeline; returns (writer, summary dict)."""
     reader = create_dataset_reader(mode, dataset_dir, camera_yaml)
@@ -82,6 +83,27 @@ def run_dataset(
     state = F.init_state(settings, capacity, dtype)
     tracker = tracker_init(tcfg, (h, w), dtype=jnp.float32)
     suite = settings.suite
+
+    sim = None
+    sim_tracker = None
+    if simvis:
+        # replace real vision with simulated measurements generated around the
+        # dataset ground truth (reference --simvis, main_opt.cpp:194-198)
+        from ..analysis import quat_to_rot
+        from ..lie import SE3 as _SE3
+        from ..sim import Simulator, slot_tracker_init
+
+        gt = reader.groundtruth
+        if gt is None:
+            raise ValueError("--simvis needs dataset ground truth")
+        poses = _SE3(
+            jnp.asarray(quat_to_rot(gt.quaternion), dtype=dtype),
+            jnp.asarray(gt.position, dtype=dtype),
+        )
+        sim = Simulator.from_poses(
+            gt.stamps, poses, settings.camera_offset_se3(dtype), dtype=dtype
+        )
+        sim_tracker = slot_tracker_init(capacity)
 
     jit_tracker = jax.jit(lambda ts, img: tracker_step(ts, img, tcfg))
 
@@ -128,7 +150,15 @@ def run_dataset(
 
         loop_timer.start_timing("features")
         img = jnp.asarray(meas.data, dtype=jnp.float32)
-        if settings.use_feature_predictions:
+        if simvis:
+            from ..sim import gather_slots_compact, slot_tracker_step_compact
+
+            sel_ids, sel_pts = sim.get_vision_compact(
+                jnp.asarray(meas.stamp, dtype=dtype), camera, tcfg.max_features
+            )
+            sim_tracker = slot_tracker_step_compact(sim_tracker, sel_ids)
+            pixels, vis, ids, _ = gather_slots_compact(sel_ids, sel_pts, sim_tracker, camera)
+        elif settings.use_feature_predictions:
             # predict feature pixels from the forward-propagated state
             # (reference getFeaturePredictions, VIOFilter.cpp:247-252)
             est = F.state_estimate(state)
@@ -143,9 +173,10 @@ def run_dataset(
             )(tracker, img, predicted)
         else:
             tracker = jit_tracker(tracker, img)
-        pixels = jnp.asarray(tracker.positions, dtype=dtype)
-        vis = tracker.mask
-        ids = tracker.ids
+        if not simvis:
+            pixels = jnp.asarray(tracker.positions, dtype=dtype)
+            vis = tracker.mask
+            ids = tracker.ids
         loop_timer.end_timing("features")
 
         # build the padded IMU window for [prev_t, stamp]
@@ -242,6 +273,8 @@ def main(argv=None):
     ap.add_argument("--start", type=float, default=None)
     ap.add_argument("--stop", type=float, default=None)
     ap.add_argument("--timing", action="store_true")
+    ap.add_argument("--simvis", action="store_true",
+                    help="replace vision with simulated measurements around ground truth")
     ap.add_argument("--display", action="store_true", help="accepted for parity; no GUI")
     args = ap.parse_args(argv)
 
@@ -255,6 +288,7 @@ def main(argv=None):
         stop=args.stop,
         camera_yaml=args.camera,
         timing=args.timing,
+        simvis=args.simvis,
     )
     print(f"Processed {summary['frames']} frames at {summary['fps']:.1f} fps; "
           f"{summary['landmarks']} landmarks live.")

@@ -637,6 +637,85 @@ def process_vision(
 
 
 # ---------------------------------------------------------------------------
+# Simulation-support API (reference VIOFilter.cpp:80-132)
+# ---------------------------------------------------------------------------
+
+
+def set_state(state: EqFState, xi: VIOState, settings: Settings) -> EqFState:
+    """Reset the filter to an exact state (reference ``VIOFilter::setState``)."""
+    dtype = state.Sigma.dtype
+    capacity = xi.capacity
+    X = group_identity(capacity, dtype)
+    diag = jnp.concatenate(
+        [
+            settings.initial_sensor_cov_diag(dtype),
+            jnp.tile(settings.initial_point_cov_diag(dtype), capacity),
+        ]
+    )
+    Sigma = sanitize_sigma(jnp.diag(diag), xi, settings)
+    return EqFState(xi0=xi, X=X, Sigma=Sigma, t=state.t)
+
+
+def set_landmarks(
+    state: EqFState, landmarks: jnp.ndarray, ids: jnp.ndarray, mask: jnp.ndarray,
+    settings: Settings,
+) -> EqFState:
+    """Replace all landmark slots with exact values and reset their covariance
+    (reference ``VIOFilter::setLandmarks``)."""
+    dtype = state.Sigma.dtype
+    xi0 = state.xi0._replace(landmarks=landmarks, ids=ids, mask=mask)
+    eyeN = jnp.broadcast_to(jnp.eye(3, dtype=dtype), state.X.Q.R.shape)
+    X = state.X._replace(Q=state.X.Q._replace(R=eyeN, a=jnp.ones_like(state.X.Q.a)))
+    mv = jnp.concatenate(
+        [jnp.zeros((SENSOR_DIM,), dtype=dtype), jnp.repeat(mask.astype(dtype), 3)]
+    )
+    keep = 1.0 - mv
+    Sigma = state.Sigma * keep[:, None] * keep[None, :]
+    pdiag = jnp.concatenate(
+        [
+            jnp.zeros((SENSOR_DIM,), dtype=dtype),
+            jnp.tile(settings.initial_point_cov_diag(dtype), xi0.capacity),
+        ]
+    )
+    Sigma = Sigma + jnp.diag(mv * pdiag)
+    return state._replace(xi0=xi0, X=X, Sigma=sanitize_sigma(Sigma, xi0, settings))
+
+
+def augment_landmarks(
+    state: EqFState,
+    new_mask: jnp.ndarray,
+    ids: jnp.ndarray,
+    true_points: jnp.ndarray,
+    settings: Settings,
+) -> EqFState:
+    """Insert new landmark slots at exact (estimate-frame) positions
+    (reference ``VIOFilter::augmentLandmarkStates``)."""
+    dtype = state.xi0.landmarks.dtype
+    landmarks = jnp.where(new_mask[:, None], true_points, state.xi0.landmarks)
+    ids_new = jnp.where(new_mask, ids, state.xi0.ids)
+    mask = state.xi0.mask | new_mask
+    xi0 = state.xi0._replace(landmarks=landmarks, ids=ids_new, mask=mask)
+    eyeN = jnp.broadcast_to(jnp.eye(3, dtype=dtype), state.X.Q.R.shape)
+    Q = state.X.Q._replace(
+        R=jnp.where(new_mask[:, None, None], eyeN, state.X.Q.R),
+        a=jnp.where(new_mask, 1.0, state.X.Q.a),
+    )
+    X = state.X._replace(Q=Q)
+    mv_new = jnp.repeat(new_mask.astype(dtype), 3)
+    full_new = jnp.concatenate([jnp.zeros((SENSOR_DIM,), dtype=dtype), mv_new])
+    keep = 1.0 - full_new
+    Sigma = state.Sigma * keep[:, None] * keep[None, :]
+    pdiag_full = jnp.concatenate(
+        [
+            jnp.zeros((SENSOR_DIM,), dtype=dtype),
+            jnp.tile(settings.initial_point_cov_diag(dtype), state.xi0.capacity),
+        ]
+    )
+    Sigma = Sigma + jnp.diag(full_new * pdiag_full)
+    return state._replace(xi0=xi0, X=X, Sigma=Sigma)
+
+
+# ---------------------------------------------------------------------------
 # Consistency metrics (reference VIO_eqf.cpp:153-170)
 # ---------------------------------------------------------------------------
 

@@ -362,36 +362,9 @@ def _lookup_true(sel_ids, sel_pts, slot_ids):
 
 
 def _augment_true(state: F.EqFState, new_mask, ids, true_pts, settings: F.Settings):
-    """Insert new landmarks at their true camera-frame positions.
-
-    The filter estimate is phi_X(xi0); for a new slot Q = identity so the
-    origin landmark must equal the true point.
-    """
-    dtype = state.xi0.landmarks.dtype
-    landmarks = jnp.where(new_mask[:, None], true_pts, state.xi0.landmarks)
-    ids_new = jnp.where(new_mask, ids, state.xi0.ids)
-    mask = state.xi0.mask | new_mask
-    xi0 = state.xi0._replace(landmarks=landmarks, ids=ids_new, mask=mask)
-
-    eyeN = jnp.broadcast_to(jnp.eye(3, dtype=dtype), state.X.Q.R.shape)
-    Q = state.X.Q._replace(
-        R=jnp.where(new_mask[:, None, None], eyeN, state.X.Q.R),
-        a=jnp.where(new_mask, 1.0, state.X.Q.a),
-    )
-    X = state.X._replace(Q=Q)
-
-    mv_new = jnp.repeat(new_mask.astype(dtype), 3)
-    full_new = jnp.concatenate([jnp.zeros((F.SENSOR_DIM,), dtype=dtype), mv_new])
-    keep = 1.0 - full_new
-    Sigma = state.Sigma * keep[:, None] * keep[None, :]
-    pdiag_full = jnp.concatenate(
-        [
-            jnp.zeros((F.SENSOR_DIM,), dtype=dtype),
-            jnp.tile(settings.initial_point_cov_diag(dtype), state.xi0.capacity),
-        ]
-    )
-    Sigma = Sigma + jnp.diag(full_new * pdiag_full)
-    return state._replace(xi0=xi0, X=X, Sigma=Sigma)
+    """Insert new landmarks at their true camera-frame positions
+    (delegates to the filter's sim-support API)."""
+    return F.augment_landmarks(state, new_mask, ids, true_pts, settings)
 
 
 def _slot_true_state(true_full: VIOState, xi0: VIOState, capacity: int) -> VIOState:

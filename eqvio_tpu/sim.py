@@ -138,6 +138,31 @@ class Simulator(NamedTuple):
             )
         return Simulator(t, poses, jnp.asarray(world, dtype=dtype), camera_offset)
 
+    @staticmethod
+    def from_poses(
+        times,
+        poses: SE3,
+        camera_offset: SE3,
+        num_points: int = 1000,
+        wall_distance: float = 2.0,
+        num_walls: int = 4,
+        seed: int = 0,
+        dtype=jnp.float64,
+    ) -> "Simulator":
+        """Simulator around an arbitrary stamped trajectory (e.g. dataset
+        ground truth) — the reference builds one per data server for the
+        ``--simvis/--simimu`` replacement modes (``DataServerBase.cpp:20-26``).
+        """
+        world = generate_world_points(
+            np.asarray(poses.x), num_points, wall_distance, num_walls, seed
+        )
+        return Simulator(
+            jnp.asarray(times, dtype=dtype),
+            SE3(jnp.asarray(poses.R, dtype=dtype), jnp.asarray(poses.x, dtype=dtype)),
+            jnp.asarray(world, dtype=dtype),
+            camera_offset,
+        )
+
     # --- interpolation helpers ---
 
     def _index(self, t):

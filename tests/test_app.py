@@ -85,3 +85,17 @@ def test_run_opt_end_to_end(synthetic_dataset, tmp_path):
     # timing rows written
     assert os.path.exists(os.path.join(out_dir, "timing.csv"))
     assert os.path.exists(os.path.join(out_dir, "features.csv"))
+
+
+def test_run_opt_simvis(synthetic_dataset, tmp_path):
+    """--simvis path: real IMU + simulated vision around ground truth."""
+    path, sim = synthetic_dataset
+    from eqvio_tpu.app.run_opt import run_dataset
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..", "configs", "config_template.yaml"))
+    cfg["eqf"]["measurementNoise"]["feature"] = 1.0
+    cfg["GIFT"]["maxFeatures"] = 16
+    _, summary = run_dataset(path, cfg, simvis=True, limit_frames=20)
+    assert summary["frames"] == 20
+    assert summary["landmarks"] > 3
+    assert not np.any(np.isnan(summary["final_position"]))
