@@ -35,6 +35,8 @@ class TrackerConfig:
     max_error: float = 0.05
     equalize_histogram: bool = False
     use_pallas: bool = False  # VMEM-resident Pallas KLT kernel on TPU
+    flow_outlier_threshold: float = 0.0  # median-flow gate (px); 0 disables
+    # (RANSAC-lite stand-in for GIFT's ransacParams outlier rejection)
 
 
 class TrackerState(NamedTuple):
@@ -88,6 +90,19 @@ def tracker_step(
         max_error=config.max_error,
         use_pallas=config.use_pallas,
     )
+    # median-flow outlier gate: drop tracks whose flow deviates from the
+    # masked median flow (RANSAC-lite; replaces GIFT's ransac stage)
+    if config.flow_outlier_threshold > 0:
+        flow = new_pos - state.positions
+        big = jnp.asarray(1e9, dtype=flow.dtype)
+        fx = jnp.where(tracked, flow[:, 0], big)
+        fy = jnp.where(tracked, flow[:, 1], big)
+        n_tr = jnp.sum(tracked)
+        med_idx = jnp.clip(n_tr // 2, 0, flow.shape[0] - 1)
+        med = jnp.stack([jnp.sort(fx)[med_idx], jnp.sort(fy)[med_idx]])
+        dev = jnp.linalg.norm(flow - med, axis=-1)
+        tracked = tracked & ((dev < config.flow_outlier_threshold) | (n_tr < 4))
+
     positions = jnp.where(tracked[:, None], new_pos, state.positions)
     ids = jnp.where(tracked, state.ids, -1)
     mask = tracked

@@ -119,4 +119,6 @@ def tracker_config_from_config(cfg: dict) -> TrackerConfig:
         max_level=int(g("maxLevel", 3)),
         max_error=float(g("maxError", 1e8)),
         equalize_histogram=bool(g("equaliseImageHistogram", False)),
+        flow_outlier_threshold=float(g("flowOutlierThreshold",
+                                       20.0 if g("ransacParams", None) else 0.0)),
     )

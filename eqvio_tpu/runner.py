@@ -220,11 +220,14 @@ def build_sim_runner(
     augment_true_landmarks: bool = True,
     compute_nees: bool = True,
     batch: int | None = None,
+    mesh=None,
 ):
     """Build a reusable jitted whole-sequence runner ``() -> SimRunResult``.
 
     ``batch``: run B independent filter instances of the same sequence in one
     vmapped program (outputs gain a leading batch axis).
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``seq`` axis — the batch
+    axis is sharded over it so the sequence fleet spans every device.
 
     The returned callable reuses one jit cache entry, so repeated invocations
     (benchmarking, Monte-Carlo sweeps) pay zero retrace cost.
@@ -322,9 +325,15 @@ def build_sim_runner(
 
     # batch-of-sequences mode: the whole scan vmapped over B identical
     # filter instances — the single-chip form of the reference's serial
-    # multi-sequence driver (run_and_analyse_dataset.py:46-49)
+    # multi-sequence driver (run_and_analyse_dataset.py:46-49); with a mesh,
+    # the batch axis shards over devices (sequence-parallel scale-out)
     states_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (batch,) + a.shape), state)
     tracker_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (batch,) + a.shape), tracker)
+    if mesh is not None:
+        from .parallel.mesh import shard_batch
+
+        states_b = shard_batch(mesh, jax.tree.map(jnp.asarray, states_b))
+        tracker_b = shard_batch(mesh, jax.tree.map(jnp.asarray, tracker_b))
     vrun = jax.jit(jax.vmap(lambda s, tr: run_scan(s, tr)))
 
     def run_batch() -> SimRunResult:

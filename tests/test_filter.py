@@ -187,3 +187,29 @@ def test_sim_full_pipeline_with_outliers():
     assert (nl > 0).mean() > 0.7
     rmse, _ = ate_rmse(np.asarray(res.est_position), np.asarray(res.true_position))
     assert rmse < 0.5
+
+
+def test_sim_noisy_consistency():
+    """With realistic IMU + pixel noise drawn from the filter's own gain
+    matrices, the whole-trajectory NEES stays O(1) and the trajectory error
+    stays bounded — the end-to-end analogue of the particle tests."""
+    from eqvio_tpu.runner import ate_rmse, prepare_sim_inputs, run_prepared
+
+    settings = F.Settings(
+        measurement_noise=1.0,
+        vel_gyr_noise=0.002,
+        vel_acc_noise=0.02,
+        initial_point_var=0.05,
+    )
+    inputs = prepare_sim_inputs(
+        settings, capacity=16, max_features=12, end_time=10.0,
+        input_noise=True, output_noise=True,
+    )
+    res = run_prepared(settings, inputs, augment_true_landmarks=True)
+    nees = np.asarray(res.nees)
+    est = np.asarray(res.est_position)
+    assert not np.any(np.isnan(est))
+    rmse, scale = ate_rmse(est, np.asarray(res.true_position))
+    assert rmse < 0.3, rmse
+    med = float(np.nanmedian(nees))
+    assert 0.05 < med < 3.0, med

