@@ -1,0 +1,87 @@
+"""Per-kernel timings: EqF update, propagation window, KLT tracker, full frame.
+
+The reference analogue is the timing.csv flamegraph labels
+(features/preprocessing/propagation/correction, analyse_timing_data.py:10-17).
+Run on the target backend; prints one JSON object per kernel.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _time(f, *args, reps=50):
+    import jax
+
+    out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps * 1e3  # ms
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "float32")
+
+    from eqvio_tpu import filter as F
+    from eqvio_tpu.frontend import TrackerConfig, tracker_init, tracker_step
+    from eqvio_tpu.runner import default_sim_camera
+    from eqvio_tpu.states import IMU
+
+    dtype = jnp.float32
+    settings = F.Settings(
+        measurement_noise=0.5, coordinate_choice="invdepth", fast_riccati=True,
+        use_discrete_innovation_lift=False, use_median_depth=False,
+    )
+    suite = settings.suite
+    cam = default_sim_camera(dtype)
+    N, K = 32, 12
+    rng = np.random.default_rng(0)
+
+    state = F.init_state(settings, N, dtype)
+    pixels = jnp.asarray(rng.uniform(100, 500, size=(N, 2)), dtype=dtype)
+    vis = jnp.ones(N, dtype=bool)
+    ids = jnp.arange(N, dtype=jnp.int32)
+    state = F.add_landmarks(state, pixels, vis, ids, cam, settings)
+    imu_win = IMU(
+        stamp=jnp.asarray(np.linspace(0, 0.055, K), dtype=dtype),
+        gyr=jnp.asarray(rng.normal(size=(K, 3)) * 0.1, dtype=dtype),
+        acc=jnp.asarray(rng.normal(size=(K, 3)) * 0.1 + [0, 0, 9.8], dtype=dtype),
+        gyr_bias_vel=jnp.zeros((K, 3), dtype=dtype),
+        acc_bias_vel=jnp.zeros((K, 3), dtype=dtype),
+    )
+    dts = jnp.full((K,), 0.005, dtype=dtype)
+
+    upd = jax.jit(lambda s, p, v: F.update_vision(s, p, v, cam, settings, suite))
+    prop = jax.jit(lambda s, w, d: F.propagate_window(s, w, d, settings, suite))
+    full = jax.jit(
+        lambda s, w, d, p, v, i: F.process_vision(
+            F.propagate_window(s, w, d, settings, suite), p, v, i, cam, settings, suite
+        )
+    )
+
+    results = {
+        "eqf_update_ms_per_frame": round(_time(upd, state, pixels, vis), 4),
+        "propagation_window_ms_per_frame": round(_time(prop, state, imu_win, dts), 4),
+        "full_filter_frame_ms": round(_time(full, state, imu_win, dts, pixels, vis, ids), 4),
+    }
+
+    # tracker on a VGA-class frame
+    tcfg = TrackerConfig(max_features=30, win_size=21, max_level=3, max_error=1e8)
+    trk = tracker_init(tcfg, (480, 752))
+    img = jnp.asarray(rng.uniform(0, 1, size=(480, 752)), dtype=jnp.float32)
+    step = jax.jit(lambda t, im: tracker_step(t, im, tcfg))
+    trk = step(trk, img)  # populate
+    results["tracker_ms_per_frame"] = round(_time(step, trk, img, reps=20), 4)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,9 @@ def main(argv=None):
     ap.add_argument("--maxFeatures", type=int, default=30)
     ap.add_argument("--selfInit", action="store_true",
                     help="initialise landmarks from measurements, not ground truth")
+    ap.add_argument("--inputNoise", action="store_true")
+    ap.add_argument("--outputNoise", action="store_true")
+    ap.add_argument("--initialNoise", action="store_true")
     ap.add_argument("--f32", action="store_true")
     args = ap.parse_args(argv)
 
@@ -48,6 +51,9 @@ def main(argv=None):
         end_time=args.time,
         kind=args.trajectory,
         augment_true_landmarks=not args.selfInit,
+        input_noise=args.inputNoise,
+        output_noise=args.outputNoise,
+        initial_noise=args.initialNoise,
         dtype=dtype,
     )
 

@@ -83,6 +83,82 @@ def _track_level(img_prev, img_next, pos_prev, guess, win, iters, dtype):
     return p, err
 
 
+# ---------------------------------------------------------------------------
+# MXU path: patch extraction as interpolation matmuls (no gathers).
+# TPU gathers serialise; contracting one-hot interpolation selectors against
+# the image rides the MXU instead.  Identical math to the gather path.
+# ---------------------------------------------------------------------------
+
+
+def _row_selector(y0, fy, H: int, win: int, dtype):
+    """[N, win, H] linear-interpolation row selector."""
+    ys = jax.lax.broadcasted_iota(jnp.int32, (1, win, H), 2)
+    tgt = (y0[:, None, None] + jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1))
+    f = fy[:, None, None].astype(dtype)
+    return (ys == tgt).astype(dtype) * (1 - f) + (ys == tgt + 1).astype(dtype) * f
+
+
+def _col_selector(x0, fx, W: int, win: int, dtype):
+    """[N, W, win] linear-interpolation column selector."""
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, W, win), 1)
+    tgt = (x0[:, None, None] + jax.lax.broadcasted_iota(jnp.int32, (1, 1, win), 2))
+    f = fx[:, None, None].astype(dtype)
+    return (xs == tgt).astype(dtype) * (1 - f) + (xs == tgt + 1).astype(dtype) * f
+
+
+def _extract_patches_mxu(img, corner_xy, win: int):
+    """Bilinear [N, win, win] patches at fractional top-left corners, via
+    two einsums (row then column interpolation) on the MXU."""
+    H, W = img.shape
+    dtype = img.dtype
+    cx = jnp.clip(corner_xy[:, 0], 0.0, W - win - 1.001)
+    cy = jnp.clip(corner_xy[:, 1], 0.0, H - win - 1.001)
+    x0 = jnp.floor(cx).astype(jnp.int32)
+    y0 = jnp.floor(cy).astype(jnp.int32)
+    R = _row_selector(y0, cy - y0, H, win, dtype)
+    C = _col_selector(x0, cx - x0, W, win, dtype)
+    rows = jnp.einsum("niy,yx->nix", R, img)
+    return jnp.einsum("nix,nxj->nij", rows, C)
+
+
+def _track_level_batch_mxu(img_prev, img_next, pos, guess, win, iters, dtype):
+    """All-features LK for one pyramid level using MXU patch extraction."""
+    r = (win - 1) / 2.0
+    t_corner = pos - r
+    template = _extract_patches_mxu(img_prev, t_corner, win)
+    ex = jnp.asarray([1.0, 0.0], dtype)
+    ey = jnp.asarray([0.0, 1.0], dtype)
+    gx = _extract_patches_mxu(img_prev, t_corner + ex, win) - _extract_patches_mxu(
+        img_prev, t_corner - ex, win
+    )
+    gy = _extract_patches_mxu(img_prev, t_corner + ey, win) - _extract_patches_mxu(
+        img_prev, t_corner - ey, win
+    )
+    gxx = jnp.sum(gx * gx, axis=(1, 2))
+    gxy = jnp.sum(gx * gy, axis=(1, 2))
+    gyy = jnp.sum(gy * gy, axis=(1, 2))
+    det = gxx * gyy - gxy * gxy
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+
+    def body(_, carry):
+        p, _err = carry
+        patch = _extract_patches_mxu(img_next, p - r, win)
+        diff = patch - template
+        bx = jnp.sum(diff * gx, axis=(1, 2))
+        by = jnp.sum(diff * gy, axis=(1, 2))
+        dx = (gyy * bx - gxy * by) / det
+        dy = (gxx * by - gxy * bx) / det
+        p_new = p - jnp.stack([dx, dy], axis=-1)
+        err = jnp.mean(jnp.abs(diff), axis=(1, 2))
+        return p_new, err
+
+    N = pos.shape[0]
+    p, err = jax.lax.fori_loop(
+        0, iters, body, (guess, jnp.full((N,), jnp.inf, dtype))
+    )
+    return p, err
+
+
 def track_features(
     pyr_prev: list[jnp.ndarray],
     pyr_next: list[jnp.ndarray],
@@ -93,8 +169,13 @@ def track_features(
     iters: int = 8,
     max_error: float = 0.05,
     use_pallas: bool = False,
+    mode: str = "auto",
 ):
     """Track all features from ``pyr_prev`` to ``pyr_next``.
+
+    ``mode``: "gather" (vmapped bilinear gathers — fast on CPU), "mxu"
+    (interpolation-as-matmul einsums — fast on TPU, no gathers), or "auto"
+    (per backend).  ``use_pallas`` overrides with the Pallas kernel.
 
     Returns ``(new_positions [N, 2], tracked [N])`` where ``tracked`` clears
     features that left the image or exceeded ``max_error`` mean residual
@@ -122,7 +203,13 @@ def track_features(
             )
         return p, err
 
+    if mode == "auto":
+        backend = jax.default_backend()
+        mode = "mxu" if backend not in ("cpu",) else "gather"
     if use_pallas:
+        mode = "pallas"
+
+    if mode == "pallas":
         from .pallas_klt import _COLS, _ROWS, klt_track_level_pallas
 
         scale0 = 2.0 ** (levels - 1)
@@ -144,6 +231,19 @@ def track_features(
                     )
                 )(positions / s, p)
         new_pos, errs = p.astype(dtype), errs.astype(dtype)
+    elif mode == "mxu":
+        # interpolation-as-matmul: no gathers anywhere (TPU-friendly)
+        scale0 = 2.0 ** (levels - 1)
+        p = predicted / scale0
+        errs = jnp.zeros(positions.shape[0], dtype=dtype)
+        for lvl in range(levels - 1, -1, -1):
+            s = 2.0**lvl
+            if lvl < levels - 1:
+                p = p * 2.0
+            p, errs = _track_level_batch_mxu(
+                pyr_prev[lvl], pyr_next[lvl], positions / s, p, win, iters, dtype
+            )
+        new_pos = p
     else:
         new_pos, errs = jax.vmap(track_one)(positions, predicted)
     margin = (win - 1) / 2 + 2

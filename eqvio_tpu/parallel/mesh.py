@@ -12,6 +12,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Initialise multi-host JAX (jax.distributed) when running on a pod slice.
+
+    No-op for single-process runs.  After this, :func:`make_mesh` sees every
+    chip across hosts and the `seq`-sharded batch runner + landmark-sharded
+    update ride ICI/DCN collectives transparently (GSPMD inserts them from
+    the shardings).
+    """
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(axis_sizes: dict[str, int] | None = None) -> Mesh:
     """Build a mesh over all available devices.
 

@@ -113,3 +113,21 @@ def test_median_flow_gate(blob_positions):
     d_out = np.linalg.norm(pos - moved[0], axis=-1).min() if len(pos) else 1e9
     # the consistent tracks survive
     assert int(np.asarray(state.mask).sum()) >= n0 - 2
+
+
+def test_mxu_path_matches_gather(blob_positions):
+    """Interpolation-as-matmul tracking == gather tracking."""
+    from eqvio_tpu.frontend.klt import track_features
+    from eqvio_tpu.frontend.pyramid import build_pyramid
+
+    shift = np.array([2.1, -1.4])
+    img0 = render_points(blob_positions)
+    img1 = render_points(blob_positions + shift)
+    pyr0 = build_pyramid(img0, 3)
+    pyr1 = build_pyramid(img1, 3)
+    pos = jnp.asarray(blob_positions)
+    mask = jnp.ones(len(blob_positions), dtype=bool)
+    p_g, t_g = track_features(pyr0, pyr1, pos, mask, win=15, mode="gather")
+    p_m, t_m = track_features(pyr0, pyr1, pos, mask, win=15, mode="mxu")
+    np.testing.assert_allclose(np.asarray(p_m), np.asarray(p_g), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(t_m), np.asarray(t_g))
