@@ -80,6 +80,28 @@ def main():
     trk = step(trk, img)  # populate
     results["tracker_ms_per_frame"] = round(_time(step, trk, img, reps=20), 4)
 
+    # sub-components
+    from eqvio_tpu.frontend import build_pyramid, detect_features
+    from eqvio_tpu.frontend.klt import track_features
+
+    det = jax.jit(
+        lambda im, ex, em: detect_features(
+            im, 30, min_dist=tcfg.feature_dist, exclude=ex, exclude_mask=em
+        )
+    )
+    ex = trk.positions
+    em = trk.mask
+    results["detector_ms"] = round(_time(det, img, ex, em, reps=20), 4)
+
+    pyr = build_pyramid(img, 4)
+    pyr_fn = jax.jit(lambda im: build_pyramid(im, 4))
+    results["pyramid_ms"] = round(_time(pyr_fn, img, reps=20), 4)
+
+    klt = jax.jit(
+        lambda p: track_features(pyr, pyr, p, jnp.ones(30, bool), win=21, mode="mxu")
+    )
+    results["klt_mxu_ms"] = round(_time(klt, trk.positions, reps=20), 4)
+
     print(json.dumps(results))
 
 

@@ -35,6 +35,8 @@ def main(argv=None):
     ap.add_argument("--inputNoise", action="store_true")
     ap.add_argument("--outputNoise", action="store_true")
     ap.add_argument("--initialNoise", action="store_true")
+    ap.add_argument("--landmarkReset", type=int, default=0,
+                    help="reset all landmarks to truth every N frames")
     ap.add_argument("--f32", action="store_true")
     args = ap.parse_args(argv)
 
@@ -54,6 +56,7 @@ def main(argv=None):
         input_noise=args.inputNoise,
         output_noise=args.outputNoise,
         initial_noise=args.initialNoise,
+        landmark_reset_every=args.landmarkReset,
         dtype=dtype,
     )
 

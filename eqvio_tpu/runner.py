@@ -221,6 +221,7 @@ def build_sim_runner(
     compute_nees: bool = True,
     batch: int | None = None,
     mesh=None,
+    landmark_reset_every: int = 0,
 ):
     """Build a reusable jitted whole-sequence runner ``() -> SimRunResult``.
 
@@ -228,6 +229,9 @@ def build_sim_runner(
     vmapped program (outputs gain a leading batch axis).
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``seq`` axis — the batch
     axis is sharded over it so the sequence fleet spans every device.
+    ``landmark_reset_every``: if > 0, drop and re-insert every landmark at its
+    true position every N frames (reference ``eqvio_sim --landmarkReset``,
+    main_sim.cpp:177-183).
 
     The returned callable reuses one jit cache entry, so repeated invocations
     (benchmarking, Monte-Carlo sweeps) pay zero retrace cost.
@@ -266,6 +270,9 @@ def build_sim_runner(
             # VIOFilter.cpp:112-132)
             same = state.xi0.ids == ids
             lost = state.xi0.mask & (~vis | ~same)
+            if landmark_reset_every > 0:
+                reset = (k_frame % landmark_reset_every) == 0
+                lost = lost | (state.xi0.mask & reset)
             state = F.remove_landmarks(state, lost, settings)
             new = vis & ~state.xi0.mask
             state = _augment_true(state, new, ids, true_pts, settings)
@@ -348,19 +355,26 @@ def run_prepared(
     inputs: SimInputs,
     augment_true_landmarks: bool = True,
     compute_nees: bool = True,
+    **kwargs,
 ) -> SimRunResult:
     """Run the jitted whole-sequence scan on prepared inputs."""
-    return build_sim_runner(settings, inputs, augment_true_landmarks, compute_nees)()
+    return build_sim_runner(
+        settings, inputs, augment_true_landmarks, compute_nees, **kwargs
+    )()
 
 
 def run_simulation(
     settings: F.Settings,
     augment_true_landmarks: bool = True,
+    landmark_reset_every: int = 0,
     **kwargs,
 ) -> SimRunResult:
     """Prepare inputs and run the full simulated VIO pipeline (convenience)."""
     inputs = prepare_sim_inputs(settings, **kwargs)
-    return run_prepared(settings, inputs, augment_true_landmarks)
+    return run_prepared(
+        settings, inputs, augment_true_landmarks,
+        landmark_reset_every=landmark_reset_every,
+    )
 
 
 def _lookup_true(sel_ids, sel_pts, slot_ids):
