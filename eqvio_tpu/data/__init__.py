@@ -2,4 +2,4 @@ from .asl import ASLDatasetReader
 from .uzhfpv import UZHFPVDatasetReader
 from .anu import APDatasetReader
 from .server import DataServer, create_dataset_reader
-from .synthetic import generate_asl_dataset
+from .synthetic import generate_asl_dataset, generate_uzhfpv_dataset

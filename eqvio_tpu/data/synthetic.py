@@ -128,3 +128,88 @@ def generate_asl_dataset(
             )
 
     return sim
+
+
+def generate_uzhfpv_dataset(
+    out_dir: str,
+    end_time: float = 4.0,
+    imu_freq: float = 200.0,
+    frame_freq: float = 10.0,
+    width: int = 320,
+    height: int = 240,
+    num_points: int = 300,
+    seed: int = 0,
+):
+    """Write a synthetic UZH-FPV-format tree (imu.txt / left_images.txt /
+    kalibr camchain with equidistant model / groundtruth.txt)."""
+    from PIL import Image
+
+    sim = Simulator.create(
+        kind="wave", end_time=end_time + 1.0, num_points=num_points, num_walls=4,
+        seed=seed,
+    )
+    fx = fy = 140.0
+    cx, cy = width / 2, height / 2
+    dist = (0.01, -0.005, 0.001, 0.0)
+
+    os.makedirs(os.path.join(out_dir, "img"), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    t0 = 0.2
+
+    imu_times = np.arange(t0, end_time, 1.0 / imu_freq)
+    imu = sim.get_imu_batch(jnp.asarray(imu_times))
+    with open(os.path.join(out_dir, "imu.txt"), "w") as f:
+        f.write("# id timestamp wx wy wz ax ay az\n")
+        for i, (t, g, a) in enumerate(zip(imu_times, np.asarray(imu.gyr), np.asarray(imu.acc))):
+            f.write(f"{i} {t:.9f} " + " ".join(f"{v:.9f}" for v in [*g, *a]) + "\n")
+
+    # kalibr camchain with equidistant distortion; T_cam_imu = inverse offset
+    from ..camera import EquidistantCamera
+
+    cam = EquidistantCamera.create(fx, fy, cx, cy, dist, width, height)
+    T_BS = np.eye(4)
+    T_BS[:3, :3] = np.asarray(sim.camera_offset.R)
+    T_BS[:3, 3] = np.asarray(sim.camera_offset.x)
+    T_cam_imu = np.linalg.inv(T_BS)
+    with open(os.path.join(out_dir, "camchain-imucam.yaml"), "w") as f:
+        import yaml as _yaml
+
+        _yaml.safe_dump(
+            {
+                "cam0": {
+                    "camera_model": "pinhole",
+                    "distortion_model": "equidistant",
+                    "intrinsics": [fx, fy, cx, cy],
+                    "distortion_coeffs": list(dist),
+                    "resolution": [width, height],
+                    "T_cam_imu": T_cam_imu.tolist(),
+                }
+            },
+            f,
+        )
+
+    frame_times = np.arange(t0 + 1.0 / frame_freq, end_time, 1.0 / frame_freq)
+    with open(os.path.join(out_dir, "left_images.txt"), "w") as f:
+        f.write("# id timestamp image_name\n")
+        for i, t in enumerate(frame_times):
+            pose = sim.interpolate_pose(jnp.asarray(t))
+            cam_inv = se3_inv(se3_mul(pose, sim.camera_offset))
+            pts = jnp.einsum("ij,pj->pi", cam_inv.R, sim.world) + cam_inv.x
+            px = np.asarray(cam.project(pts))
+            z = np.asarray(pts)[:, 2]
+            vis = (z > 0.1) & (px[:, 0] > 0) & (px[:, 0] < width) & (px[:, 1] > 0) & (px[:, 1] < height)
+            img = _render(px, vis, width, height, rng)
+            name = f"img/image_{i}.png"
+            Image.fromarray((img * 255).astype(np.uint8)).save(os.path.join(out_dir, name))
+            f.write(f"{i} {t:.9f} {name}\n")
+
+    with open(os.path.join(out_dir, "groundtruth.txt"), "w") as f:
+        f.write("# id timestamp tx ty tz qx qy qz qw\n")
+        for i, t in enumerate(frame_times):
+            xi = sim.full_state(jnp.asarray(float(t)))
+            q = rotation_to_quaternion(np.asarray(xi.sensor.pose.R))
+            p = np.asarray(xi.sensor.pose.x)
+            f.write(f"{i} {t:.9f} " + " ".join(
+                f"{v:.9f}" for v in [*p, q[1], q[2], q[3], q[0]]) + "\n")
+
+    return sim

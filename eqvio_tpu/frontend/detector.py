@@ -3,49 +3,77 @@
 TPU-native equivalent of GIFT's feature detection (used by the reference via
 ``GIFT::PointFeatureTracker``, ``main_opt.cpp:153-208``; config keys
 ``maxFeatures / featureDist / minHarrisQuality`` from
-``EQVIO_config_template.yaml:52-62``).  Everything is convolutions and
-reduce-windows — XLA maps these straight onto the TPU's conv/vector units,
-unlike the reference's per-pixel OpenCV loops.
+``EQVIO_config_template.yaml:52-62``).
+
+TPU mapping: single-channel convolutions waste the MXU, so every separable
+filter runs as two banded matmuls (``V @ img @ H^T``); the NMS max-pool is
+decomposed into row and column passes; and the keep-away zone around
+existing tracks is enforced in candidate space (K x M distances) instead of
+a dense [M, H, W] field.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def _conv2(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """Same-padding 2-D convolution of a single-channel image."""
-    return jax.lax.conv_general_dilated(
-        img[None, None, :, :],
-        kernel[None, None, :, :],
-        window_strides=(1, 1),
-        padding="SAME",
-    )[0, 0]
+@lru_cache(maxsize=64)
+def _band_matrix(n: int, taps: tuple, stride: int = 1, dtype_str: str = "float32"):
+    """[ceil(n/stride), n] banded matrix applying a centred 1-D filter.
+
+    Returns a NUMPY array: caching a jnp array would capture a tracer when
+    first built inside a jit trace and leak it into later traces.
+    """
+    k = len(taps)
+    r = (k - 1) // 2
+    rows = (n + stride - 1) // stride
+    M = np.zeros((rows, n), dtype=dtype_str)
+    for i in range(rows):
+        c = i * stride
+        for t, w in enumerate(taps):
+            j = c + t - r
+            if 0 <= j < n:
+                M[i, j] += w
+    return M
+
+
+def _sep_filter(img: jnp.ndarray, v_taps: tuple, h_taps: tuple, stride: int = 1):
+    """Separable filter as two banded matmuls (same zero-padding semantics)."""
+    H, W = img.shape
+    ds = str(img.dtype)
+    V = _band_matrix(H, v_taps, stride, ds)
+    Hm = _band_matrix(W, h_taps, stride, ds)
+    return V @ img @ Hm.T
 
 
 def sobel_gradients(img: jnp.ndarray):
-    kx = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], img.dtype) / 8.0
-    ky = kx.T
-    return _conv2(img, kx), _conv2(img, ky)
+    smooth = (0.25, 0.5, 0.25)
+    diff = (-0.5, 0.0, 0.5)
+    Ix = _sep_filter(img, smooth, diff)
+    Iy = _sep_filter(img, diff, smooth)
+    return Ix, Iy
 
 
 def harris_score(img: jnp.ndarray, window: int = 5) -> jnp.ndarray:
     """Shi-Tomasi (min-eigenvalue) corner response [H, W]."""
     Ix, Iy = sobel_gradients(img)
-    box = jnp.ones((window, window), img.dtype) / (window * window)
-    Ixx = _conv2(Ix * Ix, box)
-    Iyy = _conv2(Iy * Iy, box)
-    Ixy = _conv2(Ix * Iy, box)
+    box = tuple([1.0 / window] * window)
+    Ixx = _sep_filter(Ix * Ix, box, box)
+    Iyy = _sep_filter(Iy * Iy, box, box)
+    Ixy = _sep_filter(Ix * Iy, box, box)
     half_tr = 0.5 * (Ixx + Iyy)
     disc = jnp.sqrt(jnp.clip((0.5 * (Ixx - Iyy)) ** 2 + Ixy * Ixy, 0.0, None))
     return half_tr - disc  # min eigenvalue
 
 
 def _max_pool_same(x: jnp.ndarray, size: int) -> jnp.ndarray:
-    return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (size, size), (1, 1), "SAME"
-    )
+    """Separable (row, then column) max filter — 2k ops/px instead of k^2."""
+    row = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, size), (1, 1), "SAME")
+    return jax.lax.reduce_window(row, -jnp.inf, jax.lax.max, (size, 1), (1, 1), "SAME")
 
 
 def detect_features(
@@ -67,12 +95,10 @@ def detect_features(
     """
     H, W = img.shape
     score = harris_score(img)
-    # quality gate relative to the best corner (GIFT minHarrisQuality)
     peak = jnp.max(score)
     is_max = (score >= _max_pool_same(score, 2 * min_dist + 1) - 1e-12) & (
         score > quality * peak
     )
-    # suppress borders
     ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     inside = (
@@ -80,22 +106,26 @@ def detect_features(
     )
     cand_score = jnp.where(is_max & inside, score, -jnp.inf)
 
-    # distance-based exclusion around existing features
-    if exclude is not None:
-        M = exclude.shape[0]
-        ex = jnp.where(exclude_mask[:, None], exclude, -1e6)
-        d2 = (xs[None].astype(img.dtype) - ex[:, 0, None, None]) ** 2 + (
-            ys[None].astype(img.dtype) - ex[:, 1, None, None]
-        ) ** 2
-        near = jnp.any(d2 < exclude_dist**2, axis=0)
-        cand_score = jnp.where(near, -jnp.inf, cand_score)
-
+    # take extra candidates, then reject those near existing tracks in
+    # candidate space (K2 x M distances, not a dense image field)
+    K2 = max_features * 3 if exclude is not None else max_features
     flat = cand_score.reshape(-1)
-    vals, lin = jax.lax.top_k(flat, max_features)
+    vals, lin = jax.lax.top_k(flat, K2)
     pos = jnp.stack(
         [(lin % W).astype(img.dtype), (lin // W).astype(img.dtype)], axis=-1
     )
     valid = jnp.isfinite(vals) & (vals > 0)
+
+    if exclude is not None:
+        ex = jnp.where(exclude_mask[:, None], exclude, -1e6)
+        d2 = jnp.sum((pos[:, None, :] - ex[None, :, :]) ** 2, axis=-1)  # [K2, M]
+        clear = jnp.min(d2, axis=1) > exclude_dist**2
+        valid = valid & clear
+        # compact the first max_features surviving candidates
+        order = jnp.argsort(~valid, stable=True)  # valid first, score-ordered
+        pos = pos[order][:max_features]
+        valid = valid[order][:max_features]
+
     return pos, valid
 
 

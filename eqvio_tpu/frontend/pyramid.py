@@ -1,22 +1,24 @@
-"""Image pyramids for coarse-to-fine tracking (GIFT ``maxLevel`` equivalent)."""
+"""Image pyramids for coarse-to-fine tracking (GIFT ``maxLevel`` equivalent).
+
+The 5-tap binomial blur + 2x decimation runs as two banded matmuls (MXU)
+instead of a single-channel convolution (which wastes the TPU conv unit).
+"""
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
+
+from .detector import _band_matrix
 
 
 def _blur_downsample(img: jnp.ndarray) -> jnp.ndarray:
-    """5-tap binomial blur + 2x decimation."""
-    k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], img.dtype) / 16.0
-    kern = k[:, None] * k[None, :]
-    out = jax.lax.conv_general_dilated(
-        img[None, None, :, :],
-        kern[None, None, :, :],
-        window_strides=(2, 2),
-        padding="SAME",
-    )[0, 0]
-    return out
+    """5-tap binomial blur + 2x decimation via banded matmuls."""
+    H, W = img.shape
+    taps = (1 / 16, 4 / 16, 6 / 16, 4 / 16, 1 / 16)
+    ds = str(img.dtype)
+    V = _band_matrix(H, taps, 2, ds)
+    Hm = _band_matrix(W, taps, 2, ds)
+    return V @ img @ Hm.T
 
 
 def build_pyramid(img: jnp.ndarray, levels: int) -> list[jnp.ndarray]:

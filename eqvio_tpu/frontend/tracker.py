@@ -51,9 +51,11 @@ def tracker_init(config: TrackerConfig, image_shape, dtype=jnp.float32) -> Track
     N = config.max_features
     H, W = image_shape
     levels = config.max_level + 1
-    pyr = tuple(
-        jnp.zeros((H // (2**l), W // (2**l)), dtype=dtype) for l in range(levels)
-    )
+    shapes = [(H, W)]
+    for _ in range(levels - 1):
+        h, w = shapes[-1]
+        shapes.append((-(-h // 2), -(-w // 2)))  # ceil, matching _band_matrix
+    pyr = tuple(jnp.zeros(s, dtype=dtype) for s in shapes)
     return TrackerState(
         positions=jnp.zeros((N, 2), dtype=dtype),
         ids=-jnp.ones((N,), dtype=jnp.int32),

@@ -99,3 +99,32 @@ def test_run_opt_simvis(synthetic_dataset, tmp_path):
     assert summary["frames"] == 20
     assert summary["landmarks"] > 3
     assert not np.any(np.isnan(summary["final_position"]))
+
+
+def test_uzhfpv_reader_and_pipeline(tmp_path):
+    """Hermetic UZH-FPV path: fisheye camchain reader + full pipeline."""
+    from eqvio_tpu.data import UZHFPVDatasetReader, generate_uzhfpv_dataset
+    from eqvio_tpu.app.run_opt import run_dataset
+
+    out = str(tmp_path / "uzh")
+    os.makedirs(out, exist_ok=True)
+    sim = generate_uzhfpv_dataset(out, end_time=3.0)
+
+    reader = UZHFPVDatasetReader(out, camera_yaml=os.path.join(out, "camchain-imucam.yaml"))
+    assert reader.camera.model == "equidistant"
+    assert len(reader.imu.stamps) > 400
+    np.testing.assert_allclose(
+        reader.camera.T_BS[:3, :3], np.asarray(sim.camera_offset.R), atol=1e-6
+    )
+    assert reader.groundtruth is not None
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..", "configs", "config_template.yaml"))
+    cfg["GIFT"]["maxFeatures"] = 16
+    cfg["GIFT"]["winSize"] = 15
+    _, summary = run_dataset(
+        out, cfg, mode="uzhfpv",
+        camera_yaml=os.path.join(out, "camchain-imucam.yaml"),
+        limit_frames=15,
+    )
+    assert summary["frames"] == 15
+    assert not np.any(np.isnan(summary["final_position"]))
