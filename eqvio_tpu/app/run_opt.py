@@ -113,9 +113,6 @@ def run_dataset(
         state = F.process_vision(state, pixels, vis, ids, camera, settings, suite)
         return state
 
-    first_img_seen = False
-    if start is None and mode == "asl":
-        start = None  # full sequence by default
     server = DataServer(reader, start_time=start, stop_time=stop)
 
     writer = VIOWriter(output_dir) if output_dir else None
@@ -182,7 +179,6 @@ def run_dataset(
         # build the padded IMU window for [prev_t, stamp]
         loop_timer.start_timing("propagation")
         t_prev = float(state.t)
-        stamps, dts_list = [], []
         kept = []
         for j, (ts, gyr, acc) in enumerate(imu_buf):
             t1 = imu_buf[j + 1][0] if j + 1 < len(imu_buf) else meas.stamp

@@ -147,6 +147,32 @@ class VIOWriter:
             + "\n"
         )
 
+    def write_pose_consistency(self, stamp, eps, sigma_diag):
+        """Pose error coordinates + marginal std-devs (VIOWriter.cpp:180-196)."""
+        buf = self._file(
+            "poseConsistency.csv",
+            "time, eps_rx, eps_ry, eps_rz, eps_px, eps_py, eps_pz,"
+            " sig_rx, sig_ry, sig_rz, sig_px, sig_py, sig_pz\n",
+        )
+        buf.append(
+            f"{float(stamp):.20g}, "
+            + ", ".join(map(_fmt, [*eps, *np.sqrt(np.asarray(sigma_diag))]))
+            + "\n"
+        )
+
+    def write_bias_consistency(self, stamp, eps, sigma_diag):
+        """Bias error coordinates + marginal std-devs (VIOWriter.cpp:213-228)."""
+        buf = self._file(
+            "biasConsistency.csv",
+            "time, eps_gyr_x, eps_gyr_y, eps_gyr_z, eps_acc_x, eps_acc_y, eps_acc_z,"
+            " sig_gyr_x, sig_gyr_y, sig_gyr_z, sig_acc_x, sig_acc_y, sig_acc_z\n",
+        )
+        buf.append(
+            f"{float(stamp):.20g}, "
+            + ", ".join(map(_fmt, [*eps, *np.sqrt(np.asarray(sigma_diag))]))
+            + "\n"
+        )
+
     def write_nees(self, stamp, nees, dof, pose_nees=0.0, attitude_nees=0.0):
         buf = self._file("nees.csv", "time, NEES, DoF, PoseNEES, AttitudeNEES\n")
         buf.append(
