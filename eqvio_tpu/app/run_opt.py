@@ -121,6 +121,7 @@ def run_dataset(
     imu_buf: list[tuple[float, np.ndarray, np.ndarray]] = []
     initialised = False
     n_frames = 0
+    t_prev_host = -1.0  # host-tracked filter time: avoids a device sync per frame
     t_begin = time.perf_counter()
 
     for meas in server:
@@ -178,7 +179,7 @@ def run_dataset(
 
         # build the padded IMU window for [prev_t, stamp]
         loop_timer.start_timing("propagation")
-        t_prev = float(state.t)
+        t_prev = t_prev_host if t_prev_host >= 0 else float(state.t)
         kept = []
         for j, (ts, gyr, acc) in enumerate(imu_buf):
             t1 = imu_buf[j + 1][0] if j + 1 < len(imu_buf) else meas.stamp
@@ -217,6 +218,7 @@ def run_dataset(
             state, imu_win, jnp.asarray(arr_dt, dtype=dtype), pixels, vis, ids
         )
         state = state._replace(t=jnp.asarray(meas.stamp, dtype=dtype))
+        t_prev_host = meas.stamp
         loop_timer.end_timing("total vision update")
 
         loop_timer.start_timing("write output")
