@@ -26,7 +26,7 @@ import numpy as np
 from .. import filter as F
 from ..camera import EquidistantCamera, PinholeCamera, RadTanCamera
 from ..data import DataServer, create_dataset_reader
-from ..frontend import TrackerConfig, tracker_init, tracker_step
+from ..frontend import tracker_init, tracker_step
 from ..io import LoopTimer, VIOWriter, load_config, settings_from_config, tracker_config_from_config
 from ..io.writer import rotation_to_quaternion
 from ..states import IMU

@@ -68,12 +68,30 @@ class DataServer:
         img_idx = [i for i, s in enumerate(images.stamps) if lo <= s <= hi]
         imu_idx = [i for i, s in enumerate(imu.stamps) if lo - 0.1 <= s <= hi]
 
-        # background decoder thread (ThreadedDataServer equivalent)
+        # background decoder (ThreadedDataServer equivalent): the native C++
+        # prefetcher when available (PNG frames), else a Python thread + PIL
+        native_iter = None
+        paths = [images.paths[i] for i in img_idx]
+        if paths and all(str(p).lower().endswith(".png") for p in paths):
+            from . import native_loader
+
+            if native_loader.available():
+                try:
+                    native_iter = native_loader.NativeImageLoader(
+                        paths, queue_size=self.queue_size
+                    )
+                except Exception:
+                    native_iter = None
+
         img_queue: queue.Queue = queue.Queue(maxsize=self.queue_size)
 
         def producer():
-            for i in img_idx:
-                img_queue.put((i, self.reader.load_image(i)))
+            if native_iter is not None:
+                for k, img in native_iter:
+                    img_queue.put((img_idx[k], img))
+            else:
+                for i in img_idx:
+                    img_queue.put((i, self.reader.load_image(i)))
             img_queue.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)

@@ -32,7 +32,7 @@ from .group import (
     algebra_scale,
     state_action,
 )
-from .lie import SE3, se3_exp, so3_from_vectors, sot3_identity
+from .lie import SE3, so3_from_vectors
 from .matrices import CoordinateSuite, get_suite, state_matrix_A_discrete
 from .states import (
     IMU,

@@ -27,7 +27,6 @@ from .lie import (
     se3_inv,
     se3_mul,
     se23_exp,
-    skew,
     so3_exp,
     so3_from_vectors,
     sot3_exp,

@@ -14,7 +14,6 @@ columns masked to zero so they stay decoupled from the active filter.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
@@ -36,7 +35,6 @@ from .group import (
     state_action,
 )
 from .lie import (
-    SE3,
     SOT3,
     se3_Adjoint,
     se3_adjoint,

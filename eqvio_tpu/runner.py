@@ -19,11 +19,8 @@ from . import filter as F
 from .camera import PinholeCamera
 from .sim import (
     Simulator,
-    SlotTrackerState,
-    gather_slots,
     gather_slots_compact,
     slot_tracker_init,
-    slot_tracker_step,
     slot_tracker_step_compact,
 )
 from .states import IMU, VIOState

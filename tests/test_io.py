@@ -73,3 +73,31 @@ def test_config_parsing(tmp_path):
     s2 = settings_from_config(cfg)
     assert s2.camera_offset_pos == (0.1, 0.2, 0.3)
     assert s2.camera_offset_quat == (1.0, 0.0, 0.0, 0.0)
+
+
+def test_native_image_loader(tmp_path):
+    """Native PNG prefetcher decodes identically to PIL."""
+    from eqvio_tpu.data import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native image loader unavailable")
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    paths = []
+    imgs = []
+    for k in range(4):
+        img = (rng.uniform(0, 255, size=(48, 64))).astype(np.uint8)
+        p = str(tmp_path / f"f{k}.png")
+        Image.fromarray(img, mode="L").save(p)
+        paths.append(p)
+        imgs.append(img)
+
+    loader = native_loader.NativeImageLoader(paths, queue_size=2)
+    seen = {}
+    for idx, arr in loader:
+        seen[idx] = arr
+    loader.close()
+    assert sorted(seen) == [0, 1, 2, 3]
+    for k in range(4):
+        np.testing.assert_allclose(seen[k], imgs[k].astype(np.float32) / 255.0, atol=1e-6)
