@@ -52,11 +52,15 @@ def _se3_literal(value):
 _COORD_ALIAS = {"euclidean": "euclid", "invdepth": "invdepth", "normal": "normal"}
 
 
-def settings_from_config(cfg: dict) -> Settings:
+def settings_from_config(cfg: dict, warn: bool = False) -> Settings:
     """Build filter settings from the ``eqf:`` section using reference keys
-    (``VIOFilterSettings.h:126-174``)."""
+    (``VIOFilterSettings.h:126-174``).
+
+    ``warn=True`` reports missing keys to stderr — use in tests to guard
+    config-key drift (the reference's ``test_settings.cpp:21-34``).
+    """
     eqf = cfg.get("eqf", {})
-    g = lambda p, d: safe_get(eqf, p, d, warn=False)
+    g = lambda p, d: safe_get(eqf, p, d, warn=warn)
     coord = str(g("settings:coordinateChoice", "Euclidean")).lower()
     quat, pos = _se3_literal(g("initialValue:cameraOffset", None))
     return Settings(

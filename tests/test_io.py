@@ -101,3 +101,22 @@ def test_native_image_loader(tmp_path):
     assert sorted(seen) == [0, 1, 2, 3]
     for k in range(4):
         np.testing.assert_allclose(seen[k], imgs[k].astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_template_config_has_all_keys(capsys):
+    """The template config covers every settings key — no not-found warnings
+    (reference test_settings.cpp:21-34 guards config-key drift)."""
+    import sys
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs", "config_template.yaml")
+    cfg = load_config(cfg_path)
+    settings_from_config(cfg, warn=True)
+    err = capsys.readouterr().err
+    # allowed gaps: optional keys the template intentionally omits
+    allowed = {"initialValue:cameraOffset"}
+    missing = {
+        line.split("key not found: ")[1]
+        for line in err.splitlines()
+        if "key not found" in line
+    }
+    assert missing <= allowed, f"template missing keys: {missing - allowed}"
