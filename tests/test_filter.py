@@ -213,3 +213,33 @@ def test_sim_noisy_consistency():
     assert rmse < 0.3, rmse
     med = float(np.nanmedian(nees))
     assert 0.05 < med < 3.0, med
+
+
+def test_sim_long_noisy_euroc_tuned():
+    """60 s noisy self-initialising run with the reference's EuRoC-tuned
+    process variances lands in the reference's EuRoC accuracy envelope
+    (BASELINE.md: pos 0.056-0.277 m, scale 0.97-1.01)."""
+    from eqvio_tpu.runner import ate_rmse, prepare_sim_inputs, run_prepared
+
+    settings = F.Settings(
+        measurement_noise=1.5, coordinate_choice="invdepth", fast_riccati=True,
+        use_discrete_innovation_lift=False, use_median_depth=False,
+        initial_scene_depth=3.0, initial_point_var=5.0,
+        vel_gyr_noise=0.0003, vel_acc_noise=0.012,
+        vel_gyr_bias_walk=0.00013, vel_acc_bias_walk=0.0045,
+        bias_omega_process_var=0.0, bias_accel_process_var=0.0,
+        attitude_process_var=6.0e-05, position_process_var=1.0e-05,
+        velocity_process_var=0.025, point_process_var=3.0e-4,
+        camera_attitude_process_var=5.1e-06, camera_position_process_var=1.2e-05,
+        outlier_threshold_abs=20.0, outlier_threshold_prob=16.0,
+    )
+    inputs = prepare_sim_inputs(
+        settings, capacity=32, max_features=30, end_time=40.0,
+        input_noise=True, output_noise=True,
+    )
+    res = run_prepared(settings, inputs, augment_true_landmarks=False)
+    est = np.asarray(res.est_position)
+    assert not np.any(np.isnan(est))
+    rmse, scale = ate_rmse(est, np.asarray(res.true_position))
+    assert rmse < 0.35, rmse
+    assert 0.85 < scale < 1.1, scale
