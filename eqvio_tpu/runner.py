@@ -347,6 +347,91 @@ def build_sim_runner(
     return run_batch
 
 
+def build_fleet_runner(settings: F.Settings, inputs_list: list[SimInputs],
+                       augment_true_landmarks: bool = False, mesh=None):
+    """Run K genuinely different sequences (worlds/noise per instance) as one
+    vmapped program — the single-program form of the reference's serial
+    multi-sequence driver, with distinct data per lane.
+
+    All inputs must share frame/IMU shapes (same timing parameters).  Returns
+    ``() -> SimRunResult`` with a leading K axis on every output.
+    """
+    proto = inputs_list[0]
+    suite = settings.suite
+    capacity = proto.capacity
+
+    def stack(get):
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *[get(i) for i in inputs_list])
+
+    imu_all_b = stack(lambda i: i.imu_all)
+    sel_ids_b = jnp.stack([i.sel_ids for i in inputs_list])
+    sel_pts_b = jnp.stack([i.sel_pts for i in inputs_list])
+    state_b = stack(lambda i: i.state0)
+    if proto.pixel_noise is not None:
+        noise_b = jnp.stack([i.pixel_noise for i in inputs_list])
+    else:
+        T = proto.ftimes.shape[0]
+        noise_b = jnp.zeros((len(inputs_list), T, capacity, 2), dtype=proto.true_pos.dtype)
+    true_pos_b = jnp.stack([i.true_pos for i in inputs_list])
+    true_R_b = jnp.stack([i.true_R for i in inputs_list])
+    true_vel_b = jnp.stack([i.true_vel for i in inputs_list])
+    ftimes, idx, dts = proto.ftimes, proto.idx, proto.dts
+    camera = proto.camera
+
+    def run_one(state, imu_all, sel_ids_all, sel_pts_all, pixel_noise, true_pos,
+                true_R, true_vel):
+        tracker = slot_tracker_init(capacity)
+
+        def frame_step(carry, scan_in):
+            state, tracker = carry
+            t_frame, widx, wdts, k_frame = scan_in
+            imu_win = jax.tree.map(lambda a: a[widx], imu_all)
+            state = F.propagate_window(state, imu_win, wdts, settings, suite)
+            tracker = slot_tracker_step_compact(tracker, sel_ids_all[k_frame])
+            pixels, vis, ids, true_pts = gather_slots_compact(
+                sel_ids_all[k_frame], sel_pts_all[k_frame], tracker, camera
+            )
+            pixels = pixels + pixel_noise[k_frame] * vis[:, None]
+            if augment_true_landmarks:
+                same = state.xi0.ids == ids
+                lost = state.xi0.mask & (~vis | ~same)
+                state = F.remove_landmarks(state, lost, settings)
+                new = vis & ~state.xi0.mask
+                state = _augment_true(state, new, ids, true_pts, settings)
+                state = F.update_vision(state, pixels, vis, camera, settings, suite)
+                state = F.remove_invalid_landmarks(state, settings)
+            else:
+                state = F.process_vision(state, pixels, vis, ids, camera, settings, suite)
+            est = F.state_estimate(state)
+            out = (
+                est.sensor.pose.x, est.sensor.pose.R, est.sensor.velocity,
+                true_pos[k_frame], true_R[k_frame], true_vel[k_frame],
+                jnp.asarray(jnp.nan, dtype=true_pos.dtype),
+                jnp.sum(state.xi0.mask),
+            )
+            return (state, tracker), out
+
+        frame_ids = jnp.arange(ftimes.shape[0])
+        (_, _), outs = jax.lax.scan(
+            frame_step, (state, tracker), (ftimes, idx, dts, frame_ids)
+        )
+        return outs
+
+    args = (state_b, imu_all_b, sel_ids_b, sel_pts_b, noise_b, true_pos_b,
+            true_R_b, true_vel_b)
+    if mesh is not None:
+        from .parallel.mesh import shard_batch
+
+        args = tuple(shard_batch(mesh, a) for a in args)
+    vrun = jax.jit(jax.vmap(run_one))
+
+    def run() -> SimRunResult:
+        outs = vrun(*args)
+        return SimRunResult(ftimes, *outs)
+
+    return run
+
+
 def run_prepared(
     settings: F.Settings,
     inputs: SimInputs,

@@ -40,3 +40,34 @@ def test_sharded_batch_runner():
     np.testing.assert_allclose(
         np.asarray(res_s.est_position[0]), np.asarray(res_s.est_position[-1]), atol=1e-3
     )
+
+
+def test_fleet_runner_distinct_sequences():
+    """K distinct-world sequences in one vmapped program match individual runs."""
+    from eqvio_tpu.runner import (
+        ate_rmse, build_fleet_runner, prepare_sim_inputs, run_prepared,
+    )
+
+    settings = F.Settings(
+        measurement_noise=0.5, coordinate_choice="invdepth", fast_riccati=True,
+        use_discrete_innovation_lift=False, use_median_depth=False,
+        initial_scene_depth=2.5,
+    )
+    inputs = [
+        prepare_sim_inputs(settings, capacity=8, max_features=6, end_time=3.0,
+                           seed=k, dtype=jnp.float64)
+        for k in range(3)
+    ]
+    fleet = build_fleet_runner(settings, inputs)
+    res = fleet()
+    assert res.est_position.shape[0] == 3
+    assert not np.any(np.isnan(np.asarray(res.est_position)))
+    # lane k equals the individual run for seed k
+    for k in range(3):
+        solo = run_prepared(settings, inputs[k], augment_true_landmarks=False,
+                            compute_nees=False)
+        np.testing.assert_allclose(
+            np.asarray(res.est_position[k]), np.asarray(solo.est_position), atol=1e-8
+        )
+    # distinct worlds -> distinct trajectories of estimation error
+    assert np.abs(np.asarray(res.est_position[0]) - np.asarray(res.est_position[1])).max() > 1e-6
