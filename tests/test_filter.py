@@ -243,3 +243,16 @@ def test_sim_long_noisy_euroc_tuned():
     rmse, scale = ate_rmse(est, np.asarray(res.true_position))
     assert rmse < 0.35, rmse
     assert 0.85 < scale < 1.1, scale
+
+
+def test_sim_normal_suite_end_to_end():
+    """The normal coordinate suite (AD-conjugated matrices) runs the full
+    pipeline without NaN and tracks accurately."""
+    from eqvio_tpu.runner import ate_rmse, run_simulation
+
+    settings = F.Settings(measurement_noise=0.5, coordinate_choice="normal")
+    res = run_simulation(settings, capacity=12, max_features=10, end_time=5.0)
+    est = np.asarray(res.est_position)
+    assert not np.any(np.isnan(est))
+    rmse, _ = ate_rmse(est, np.asarray(res.true_position))
+    assert rmse < 0.05
