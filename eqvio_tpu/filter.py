@@ -636,6 +636,28 @@ def process_vision(
     return state
 
 
+def health_check(state: EqFState) -> dict:
+    """Failure-detection flags, the masked-array form of the reference's
+    pervasive asserts (``VIO_eqf.cpp:57,71,120,133``, ``VIOGroup::hasNaN``).
+
+    Returns jnp scalars: ``nan`` (any NaN anywhere), ``sigma_pd`` (Cholesky
+    of the masked Sigma succeeded), ``scales_valid`` (all active landmark
+    scales inside [1e-8, 1e8]).  Cheap enough to run per keyframe.
+    """
+    from .group import group_has_nan
+
+    nan = group_has_nan(state.X) | jnp.any(jnp.isnan(state.Sigma)) | jnp.any(
+        jnp.isnan(state.xi0.landmarks)
+    ) | jnp.any(jnp.isnan(state.xi0.sensor.pose.R))
+    chol = jnp.linalg.cholesky(state.Sigma)
+    sigma_pd = ~jnp.any(jnp.isnan(chol))
+    a = state.X.Q.a
+    scales_valid = jnp.all(
+        jnp.where(state.xi0.mask, (a > 1e-8) & (a < 1e8), True)
+    )
+    return {"nan": nan, "sigma_pd": sigma_pd, "scales_valid": scales_valid}
+
+
 # ---------------------------------------------------------------------------
 # Simulation-support API (reference VIOFilter.cpp:80-132)
 # ---------------------------------------------------------------------------

@@ -256,3 +256,16 @@ def test_sim_normal_suite_end_to_end():
     assert not np.any(np.isnan(est))
     rmse, _ = ate_rmse(est, np.asarray(res.true_position))
     assert rmse < 0.05
+
+
+def test_health_check():
+    settings = F.Settings()
+    state = F.init_state(settings, 4)
+    h = F.health_check(state)
+    assert not bool(h["nan"]) and bool(h["sigma_pd"]) and bool(h["scales_valid"])
+    bad = state._replace(Sigma=state.Sigma.at[0, 0].set(jnp.nan))
+    h2 = F.health_check(bad)
+    assert bool(h2["nan"])
+    indef = state._replace(Sigma=state.Sigma.at[0, 0].set(-1.0))
+    h3 = F.health_check(indef)
+    assert not bool(h3["sigma_pd"])
