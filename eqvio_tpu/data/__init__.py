@@ -1,5 +1,6 @@
 from .asl import ASLDatasetReader
 from .uzhfpv import UZHFPVDatasetReader
 from .anu import APDatasetReader
+from .rosbag import BagWriter, HiltiDatasetReader, RosbagDatasetReader
 from .server import DataServer, create_dataset_reader
 from .synthetic import generate_asl_dataset, generate_uzhfpv_dataset

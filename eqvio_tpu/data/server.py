@@ -39,13 +39,17 @@ def create_dataset_reader(mode: str, dataset_dir: str, camera_yaml: str | None =
         from .anu import APDatasetReader
 
         return APDatasetReader(dataset_dir, camera_yaml)
-    if mode in ("ros", "rosbag", "hilti"):
-        raise NotImplementedError(
-            "rosbag-based readers need the rosbag library, which is not in "
-            "this image; convert the bag to ASL layout or extend data/ with a "
-            "bag parser (reference: RosbagDatasetReader.cpp / HiltiDatasetReader.cpp)"
-        )
-    raise ValueError(f"unknown dataset mode {mode!r} (use asl | uzhfpv | anu)")
+    if mode in ("ros", "rosbag"):
+        from .rosbag import RosbagDatasetReader
+
+        return RosbagDatasetReader(dataset_dir, camera_yaml)
+    if mode == "hilti":
+        from .rosbag import HiltiDatasetReader
+
+        return HiltiDatasetReader(dataset_dir, camera_yaml)
+    raise ValueError(
+        f"unknown dataset mode {mode!r} (use asl | uzhfpv | anu | rosbag | hilti)"
+    )
 
 
 class DataServer:
