@@ -1,0 +1,22 @@
+"""Runtime numeric configuration shared by the CLI entry points.
+
+TPU f32 matmuls default to bfloat16 accumulation, which is fatal for the
+filter's Riccati math, so every entry point pins matmul precision to
+float32. Covariance math prefers f64, but TPUs have no native f64 —
+enable x64 only where the backend supports it (CPU) and fall back to f32
+on TPU, where the float32-precision matmuls keep the filter stable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def configure_runtime(prefer_x64: bool = True):
+    """Set global precision knobs; returns the preferred state dtype."""
+    jax.config.update("jax_default_matmul_precision", "float32")
+    if prefer_x64 and jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_x64", True)
+        return jnp.float64
+    return jnp.float32

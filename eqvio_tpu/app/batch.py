@@ -22,7 +22,11 @@ from ..io import load_config
 from .run_opt import run_dataset
 
 
-def run_batch(dataset_list: str, config_path: str, output_root: str):
+def run_batch(dataset_list: str, config_path: str, output_root: str, dtype=None):
+    if dtype is None:
+        from ._env import configure_runtime
+
+        dtype = configure_runtime()
     with open(dataset_list) as f:
         datasets = yaml.safe_load(f)
     config = load_config(config_path)
@@ -41,6 +45,7 @@ def run_batch(dataset_list: str, config_path: str, output_root: str):
             stop=entry.get("stop"),
             camera_yaml=entry.get("camera"),
             timing=True,
+            dtype=dtype,
         )
         print(f"  {summary['frames']} frames @ {summary['fps']:.1f} fps")
         gt = entry.get("groundtruth") or os.path.join(

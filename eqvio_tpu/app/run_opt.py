@@ -59,6 +59,8 @@ def run_dataset(
     dtype=jnp.float64,
     limit_frames: int | None = None,
     simvis: bool = False,
+    simimu: bool = False,
+    limit_rate: float | None = None,
 ):
     """Run the full real-data pipeline; returns (writer, summary dict)."""
     reader = create_dataset_reader(mode, dataset_dir, camera_yaml)
@@ -86,16 +88,17 @@ def run_dataset(
 
     sim = None
     sim_tracker = None
-    if simvis:
-        # replace real vision with simulated measurements generated around the
-        # dataset ground truth (reference --simvis, main_opt.cpp:194-198)
+    if simvis or simimu:
+        # replace real vision and/or IMU with simulated measurements generated
+        # around the dataset ground truth (reference --simvis/--simimu,
+        # main_opt.cpp:194-198,249-253 via DataServerBase::getSimVision/getSimIMU)
         from ..analysis import quat_to_rot
         from ..lie import SE3 as _SE3
         from ..sim import Simulator, slot_tracker_init
 
         gt = reader.groundtruth
         if gt is None:
-            raise ValueError("--simvis needs dataset ground truth")
+            raise ValueError("--simvis/--simimu need dataset ground truth")
         poses = _SE3(
             jnp.asarray(quat_to_rot(gt.quaternion), dtype=dtype),
             jnp.asarray(gt.position, dtype=dtype),
@@ -103,9 +106,15 @@ def run_dataset(
         sim = Simulator.from_poses(
             gt.stamps, poses, settings.camera_offset_se3(dtype), dtype=dtype
         )
-        sim_tracker = slot_tracker_init(capacity)
+        if simvis:
+            sim_tracker = slot_tracker_init(capacity)
 
     jit_tracker = jax.jit(lambda ts, img: tracker_step(ts, img, tcfg))
+    # one persistent jit for the predicted-feature tracker path: constructing
+    # the closure per frame would retrace and recompile every frame
+    jit_tracker_pred = jax.jit(
+        lambda ts, img, pr: tracker_step(ts, img, tcfg, predicted=pr)
+    )
 
     @jax.jit
     def jit_filter(state, imu_win, dts, pixels, vis, ids):
@@ -124,9 +133,14 @@ def run_dataset(
     t_prev_host = -1.0  # host-tracked filter time: avoids a device sync per frame
     t_begin = time.perf_counter()
 
+    rate_mark = time.perf_counter()
     for meas in server:
         if meas.kind == "imu":
             gyr, acc = meas.data
+            if simimu:
+                sim_imu = sim.get_imu(jnp.asarray(meas.stamp, dtype=dtype))
+                gyr = np.asarray(sim_imu.gyr)
+                acc = np.asarray(sim_imu.acc)
             if not initialised:
                 state = F.initialize_attitude_from_imu(
                     state,
@@ -166,9 +180,7 @@ def run_dataset(
                 jnp.asarray(pred_px),
                 tracker.positions,
             )
-            tracker = jax.jit(
-                lambda ts, im, pr: tracker_step(ts, im, tcfg, predicted=pr)
-            )(tracker, img, predicted)
+            tracker = jit_tracker_pred(tracker, img, predicted)
         else:
             tracker = jit_tracker(tracker, img)
         if not simvis:
@@ -247,6 +259,12 @@ def run_dataset(
         n_frames += 1
         if limit_frames and n_frames >= limit_frames:
             break
+        if limit_rate and limit_rate > 0:
+            # pace the loop to at most limit_rate frames/s (main_opt.cpp:241-244)
+            sleep_for = rate_mark + 1.0 / limit_rate - time.perf_counter()
+            if sleep_for > 0:
+                time.sleep(sleep_for)
+            rate_mark = time.perf_counter()
 
     elapsed = time.perf_counter() - t_begin
     if writer is not None:
@@ -273,8 +291,16 @@ def main(argv=None):
     ap.add_argument("--timing", action="store_true")
     ap.add_argument("--simvis", action="store_true",
                     help="replace vision with simulated measurements around ground truth")
+    ap.add_argument("--simimu", action="store_true",
+                    help="replace IMU with simulated measurements around ground truth")
+    ap.add_argument("--limitRate", type=float, default=0.0, dest="limit_rate",
+                    help="maximum image processing rate in Hz (0 = unlimited)")
     ap.add_argument("--display", action="store_true", help="accepted for parity; no GUI")
     args = ap.parse_args(argv)
+
+    from ._env import configure_runtime
+
+    dtype = configure_runtime()
 
     config = load_config(args.config)
     _, summary = run_dataset(
@@ -287,6 +313,9 @@ def main(argv=None):
         camera_yaml=args.camera,
         timing=args.timing,
         simvis=args.simvis,
+        simimu=args.simimu,
+        limit_rate=args.limit_rate,
+        dtype=dtype,
     )
     print(f"Processed {summary['frames']} frames at {summary['fps']:.1f} fps; "
           f"{summary['landmarks']} landmarks live.")

@@ -40,12 +40,16 @@ def main(argv=None):
     ap.add_argument("--f32", action="store_true")
     args = ap.parse_args(argv)
 
+    from ._env import configure_runtime
+
+    preferred = configure_runtime(prefer_x64=not args.f32)
+
     if args.config:
         settings = settings_from_config(load_config(args.config))
     else:
         settings = F.Settings(measurement_noise=0.5)
 
-    dtype = jnp.float32 if args.f32 else jnp.float64
+    dtype = jnp.float32 if args.f32 else preferred
     res = run_simulation(
         settings,
         capacity=args.capacity,

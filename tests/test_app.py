@@ -128,3 +128,18 @@ def test_uzhfpv_reader_and_pipeline(tmp_path):
     )
     assert summary["frames"] == 15
     assert not np.any(np.isnan(summary["final_position"]))
+
+
+def test_run_opt_simimu(synthetic_dataset):
+    """--simimu path: simulated IMU + simulated vision around ground truth
+    (reference main_opt.cpp:249-253 via DataServerBase::getSimIMU)."""
+    path, _ = synthetic_dataset
+    from eqvio_tpu.app.run_opt import run_dataset
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..", "configs", "config_template.yaml"))
+    cfg["eqf"]["measurementNoise"]["feature"] = 1.0
+    cfg["GIFT"]["maxFeatures"] = 16
+    _, summary = run_dataset(path, cfg, simvis=True, simimu=True, limit_frames=15)
+    assert summary["frames"] == 15
+    assert summary["landmarks"] > 3
+    assert not np.any(np.isnan(summary["final_position"]))
