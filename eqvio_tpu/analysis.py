@@ -149,3 +149,30 @@ def summarise_results(result_files: list[str]) -> dict:
     summary["mean position rmse"] = float(np.mean(rmses)) if rmses else float("nan")
     summary["completed"] = len(rmses)
     return summary
+
+
+def load_timing_csv(path: str, skip_first: int = 10) -> dict[str, np.ndarray]:
+    """Load a ``timing.csv`` into {section label: per-frame milliseconds}.
+
+    The first frames are dropped (jit compilation / cache warm-up), matching
+    the reference's warm-up skip (``analyse_timing_data.py`` collect step).
+    """
+    with open(path) as f:
+        labels = [c.strip() for c in f.readline().strip().split(",")][1:]
+    data = np.genfromtxt(path, delimiter=",", skip_header=1, ndmin=2)
+    data = data[skip_first:]
+    return {lab: data[:, 1 + i] * 1e3 for i, lab in enumerate(labels)}
+
+
+def analyse_timing(path: str, skip_first: int = 10) -> dict:
+    """Per-section timing statistics (``analyse_timing_data.py:96-121``
+    equivalent): mean/median/std/max milliseconds per label plus the
+    headline ``mean time (ms)`` over the 'total' section."""
+    timing = load_timing_csv(path, skip_first)
+    out = {lab: _stats(vals[:, None]) for lab, vals in timing.items()}
+    total = timing.get("total")
+    if total is None:
+        total = sum(timing.values())
+    out["mean time (ms)"] = float(np.mean(total))
+    out["fps"] = float(1e3 / max(np.mean(total), 1e-12))
+    return out

@@ -86,3 +86,66 @@ def plot_nees(times, nees, path: str | None = None):
         plt.close(fig)
         return path
     return fig
+
+
+def plot_timing(timing: dict, out_dir: str | None = None,
+                stack_keys=("features", "propagation", "preprocessing",
+                            "correction", "write output")):
+    """Timing figures from a {label: per-frame ms} dict
+    (``analysis.load_timing_csv``): a stacked per-frame area chart with the
+    mean-total line, a per-section boxplot, and per-section histograms —
+    the reference's offline timing toolkit (``analyse_timing_data.py``).
+    """
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    keys = [k for k in stack_keys if k in timing]
+    if not keys:
+        keys = [k for k in timing if k != "total"]
+    n = min(len(timing[k]) for k in keys)
+    frames = np.arange(n)
+
+    figs = {}
+
+    fig, ax = plt.subplots(figsize=(10, 5))
+    base = np.zeros(n)
+    for k in keys:
+        top = base + np.asarray(timing[k][:n])
+        ax.fill_between(frames, base, top, label=k, linewidth=0)
+        base = top
+    ax.axhline(float(np.mean(base)), color="k", linestyle=":",
+               label=f"mean {np.mean(base):.2f} ms")
+    ax.set_xlabel("frame")
+    ax.set_ylabel("time (ms)")
+    ax.set_xlim(0, max(n - 1, 1))
+    ax.set_ylim(0, None)
+    ax.legend(loc="upper right", fontsize=8)
+    figs["timing_flamegraph"] = fig
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.boxplot([np.asarray(timing[k][:n]) for k in keys], tick_labels=keys, sym="")
+    ax.set_ylabel("time (ms)")
+    fig.autofmt_xdate(rotation=30)
+    figs["timing_boxplots"] = fig
+
+    fig, axs = plt.subplots(len(keys), 1, figsize=(8, 2 * len(keys)), sharex=True)
+    for ax, k in zip(np.atleast_1d(axs), keys):
+        ax.hist(np.asarray(timing[k][:n]), bins=40)
+        ax.set_ylabel(k, fontsize=8)
+    np.atleast_1d(axs)[-1].set_xlabel("time (ms)")
+    figs["timing_histograms"] = fig
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        paths = {}
+        for name, fig in figs.items():
+            p = os.path.join(out_dir, name + ".pdf")
+            fig.savefig(p, bbox_inches="tight")
+            plt.close(fig)
+            paths[name] = p
+        return paths
+    return figs

@@ -65,3 +65,32 @@ def test_summarise(tmp_path):
     summary = summarise_results(paths)
     assert summary["completed"] == 2
     assert summary["mean position rmse"] < 1e-9
+
+
+def test_timing_analysis_and_plots(tmp_path):
+    """Timing CSV -> per-section stats + flamegraph/boxplot/histogram files
+    (analyse_timing_data.py parity)."""
+    from eqvio_tpu.analysis import analyse_timing, load_timing_csv
+    from eqvio_tpu.visualisation import plot_timing
+
+    path = tmp_path / "timing.csv"
+    rng = np.random.default_rng(1)
+    labels = ["features", "propagation", "correction", "write output", "total"]
+    with open(path, "w") as f:
+        f.write("time, " + ", ".join(labels) + "\n")
+        for i in range(60):
+            secs = rng.uniform(1e-3, 3e-3, size=4)
+            f.write(f"{0.05*i}, " + ", ".join(f"{v:.8f}" for v in secs)
+                    + f", {secs.sum():.8f}\n")
+
+    timing = load_timing_csv(str(path), skip_first=10)
+    assert len(timing["total"]) == 50
+    stats = analyse_timing(str(path))
+    assert 1.0 < stats["mean time (ms)"] < 12.0
+    assert stats["fps"] > 80
+    assert "propagation" in stats and "rmse" in stats["propagation"]
+
+    paths = plot_timing(timing, str(tmp_path / "figs"))
+    import os
+    for name in ("timing_flamegraph", "timing_boxplots", "timing_histograms"):
+        assert os.path.getsize(paths[name]) > 0
