@@ -61,6 +61,7 @@ def run_dataset(
     simvis: bool = False,
     simimu: bool = False,
     limit_rate: float | None = None,
+    profile_dir: str | None = None,
 ):
     """Run the full real-data pipeline; returns (writer, summary dict)."""
     reader = create_dataset_reader(mode, dataset_dir, camera_yaml)
@@ -132,6 +133,12 @@ def run_dataset(
     n_frames = 0
     t_prev_host = -1.0  # host-tracked filter time: avoids a device sync per frame
     t_begin = time.perf_counter()
+
+    if profile_dir:
+        # device-level kernel attribution (roadmap: host wall-time sections
+        # can't see inside the fused jit programs): XLA trace viewable in
+        # TensorBoard / xprof
+        jax.profiler.start_trace(profile_dir)
 
     rate_mark = time.perf_counter()
     for meas in server:
@@ -267,6 +274,8 @@ def run_dataset(
             rate_mark = time.perf_counter()
 
     elapsed = time.perf_counter() - t_begin
+    if profile_dir:
+        jax.profiler.stop_trace()
     if writer is not None:
         writer.flush()
     est = F.state_estimate(state)
@@ -295,6 +304,8 @@ def main(argv=None):
                     help="replace IMU with simulated measurements around ground truth")
     ap.add_argument("--limitRate", type=float, default=0.0, dest="limit_rate",
                     help="maximum image processing rate in Hz (0 = unlimited)")
+    ap.add_argument("--profile", default=None,
+                    help="write an XLA profiler trace to this directory")
     ap.add_argument("--display", action="store_true", help="accepted for parity; no GUI")
     args = ap.parse_args(argv)
 
@@ -315,6 +326,7 @@ def main(argv=None):
         simvis=args.simvis,
         simimu=args.simimu,
         limit_rate=args.limit_rate,
+        profile_dir=args.profile,
         dtype=dtype,
     )
     print(f"Processed {summary['frames']} frames at {summary['fps']:.1f} fps; "

@@ -33,6 +33,9 @@ class TrackerConfig:
     win_size: int = 21
     max_level: int = 3
     max_error: float = 0.05
+    # only admit new detections when live tracks < threshold * maxFeatures
+    # (GIFT featureSearchThreshold semantics); 1.0 = always top up
+    feature_search_threshold: float = 1.0
     equalize_histogram: bool = False
     use_pallas: bool = False  # VMEM-resident Pallas KLT kernel on TPU
     flow_outlier_threshold: float = 0.0  # median-flow gate (px); 0 disables
@@ -128,6 +131,11 @@ def tracker_step(
     free_slots = jnp.sort(jnp.where(free, k, N))
     cand_idx = jnp.sort(jnp.where(cand_valid, k, N))
     n_assign = jnp.minimum(jnp.sum(free), jnp.sum(cand_valid))
+    if config.feature_search_threshold < 1.0:
+        # skip the top-up while enough tracks survive (static-shape gate:
+        # admission count zeroed instead of skipping the detector dispatch)
+        searching = jnp.sum(mask) < config.feature_search_threshold * N
+        n_assign = jnp.where(searching, n_assign, 0)
     target_slot = jnp.where(k < n_assign, free_slots[k], N)
     src = jnp.clip(cand_idx[k], 0, N - 1)
     new_ids = state.next_id + jnp.arange(N, dtype=jnp.int32)

@@ -122,6 +122,7 @@ def tracker_config_from_config(cfg: dict) -> TrackerConfig:
         win_size=int(g("winSize", 21)),
         max_level=int(g("maxLevel", 3)),
         max_error=float(g("maxError", 1e8)),
+        feature_search_threshold=float(g("featureSearchThreshold", 1.0)),
         equalize_histogram=bool(g("equaliseImageHistogram", False)),
         flow_outlier_threshold=float(g("flowOutlierThreshold",
                                        20.0 if g("ransacParams", None) else 0.0)),

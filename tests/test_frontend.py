@@ -131,3 +131,28 @@ def test_mxu_path_matches_gather(blob_positions):
     p_m, t_m = track_features(pyr0, pyr1, pos, mask, win=15, mode="mxu")
     np.testing.assert_allclose(np.asarray(p_m), np.asarray(p_g), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(t_m), np.asarray(t_g))
+
+
+def test_feature_search_threshold_gates_topup(blob_positions):
+    """With featureSearchThreshold < 1, no new features are admitted while
+    enough tracks survive (GIFT featureSearchThreshold semantics)."""
+    cfg = TrackerConfig(max_features=8, feature_dist=8, win_size=9, max_level=1,
+                        max_error=0.5, feature_search_threshold=0.5)
+    img = render_points(blob_positions)
+    ts = tracker_init(cfg, (H, W), dtype=img.dtype)
+    ts = tracker_step(ts, img, cfg)  # initial fill: empty tracker searches
+    n0 = int(jnp.sum(ts.mask))
+    assert n0 >= 4
+    ids0 = np.asarray(ts.ids)
+
+    # same frame again: all tracks survive (>= 50% of capacity), so no top-up
+    ts2 = tracker_step(ts, img, cfg)
+    assert int(ts2.next_id) == int(ts.next_id)
+    surviving = np.asarray(ts2.ids)[np.asarray(ts2.mask)]
+    assert set(surviving).issubset(set(ids0[ids0 >= 0]))
+
+    # threshold 1.0 keeps topping up free slots when some exist
+    cfg_full = TrackerConfig(max_features=8, feature_dist=8, win_size=9,
+                             max_level=1, max_error=0.5)
+    ts3 = tracker_step(tracker_init(cfg_full, (H, W), dtype=img.dtype), img, cfg_full)
+    assert int(jnp.sum(ts3.mask)) >= n0
