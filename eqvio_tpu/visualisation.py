@@ -149,3 +149,92 @@ def plot_timing(timing: dict, out_dir: str | None = None,
             paths[name] = p
         return paths
     return figs
+
+
+class MapDisplay:
+    """Stateful 3-D map view: trajectory trails, live + persistent landmarks.
+
+    Headless equivalent of ``VIOVisualiser::updateMapDisplay``
+    (``VIOVisualiser.cpp:139-228``): landmark lifetimes are counted per id
+    and points seen in more than ``minimum_life`` frames are pinned into a
+    persistent world map; the estimate is SE(3)+scale-aligned online to any
+    ground truth seen so far. ``render()`` draws the accumulated map instead
+    of pushing to a GLUT window.
+    """
+
+    def __init__(self, minimum_life: int = 3):
+        self.minimum_life = minimum_life
+        self.times: list[float] = []
+        self.trail: list[np.ndarray] = []
+        self.gt_trail: list[np.ndarray] = []
+        self.lifetimes: dict[int, int] = {}
+        self.persistent: dict[int, np.ndarray] = {}
+        self.current_world: np.ndarray = np.zeros((0, 3))
+        self.last_pose: tuple[np.ndarray, np.ndarray] | None = None
+
+    def update(self, time, pose_R, pose_x, cam_offset_R, cam_offset_x,
+               cam_points, ids, mask, gt_position=None):
+        """Record one frame: IMU pose, camera-frame landmarks, optional GT."""
+        pose_R = np.asarray(pose_R)
+        pose_x = np.asarray(pose_x)
+        cam_R = pose_R @ np.asarray(cam_offset_R)
+        cam_x = pose_R @ np.asarray(cam_offset_x) + pose_x
+        self.times.append(float(time))
+        self.trail.append(pose_x)
+        self.last_pose = (pose_R, pose_x)
+        if gt_position is not None:
+            self.gt_trail.append(np.asarray(gt_position))
+
+        pts = np.asarray(cam_points)
+        ids = np.asarray(ids)
+        mask = np.asarray(mask)
+        world = (cam_R @ pts[mask].T).T + cam_x
+        self.current_world = world
+        for i, p in zip(ids[mask], world):
+            i = int(i)
+            self.lifetimes[i] = self.lifetimes.get(i, 0) + 1
+            if self.lifetimes[i] > self.minimum_life:
+                self.persistent[i] = p
+
+    def _alignment(self):
+        if len(self.gt_trail) >= 3 and len(self.trail) >= 3:
+            n = min(len(self.gt_trail), len(self.trail))
+            return umeyama_alignment(
+                np.asarray(self.trail[:n]), np.asarray(self.gt_trail[:n])
+            )
+        return 1.0, np.eye(3), np.zeros(3)
+
+    def render(self, path: str | None = None):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        s, R, t = self._alignment()
+        apply = lambda p: (s * (R @ np.asarray(p).T)).T + t
+
+        fig = plt.figure(figsize=(8, 8))
+        ax = fig.add_subplot(projection="3d")
+        if self.trail:
+            trail = apply(np.asarray(self.trail))
+            ax.plot(*trail.T, color="tab:blue", label="estimate")
+        if self.gt_trail:
+            ax.plot(*np.asarray(self.gt_trail).T, "--", color="k", label="ground truth")
+        if self.persistent:
+            pp = apply(np.asarray(list(self.persistent.values())))
+            ax.scatter(*pp.T, s=3, color="0.4", label="map points")
+        if len(self.current_world):
+            cw = apply(self.current_world)
+            ax.scatter(*cw.T, s=12, color="gold", label="live landmarks")
+        if self.last_pose is not None:
+            Rp, xp = self.last_pose
+            xp = apply(xp)
+            for k, c in enumerate("rgb"):
+                d = s * (R @ Rp[:, k]) * 0.5
+                ax.plot(*np.stack([xp, xp + d]).T, color=c, linewidth=2)
+        ax.legend(fontsize=8)
+        if path:
+            fig.savefig(path, dpi=120, bbox_inches="tight")
+            plt.close(fig)
+            return path
+        return fig

@@ -94,3 +94,26 @@ def test_timing_analysis_and_plots(tmp_path):
     import os
     for name in ("timing_flamegraph", "timing_boxplots", "timing_histograms"):
         assert os.path.getsize(paths[name]) > 0
+
+
+def test_map_display(tmp_path):
+    """MapDisplay: lifetime-gated persistent points + online alignment
+    (VIOVisualiser::updateMapDisplay parity)."""
+    from eqvio_tpu.visualisation import MapDisplay
+
+    disp = MapDisplay(minimum_life=2)
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-1, 1, size=(6, 3)) + np.array([0, 0, 4.0])
+    for k in range(5):
+        pose_x = np.array([0.1 * k, 0.0, 0.0])
+        disp.update(
+            0.1 * k, np.eye(3), pose_x, np.eye(3), np.zeros(3),
+            pts - pose_x, np.arange(6), np.ones(6, bool),
+            gt_position=pose_x + 1e-3,
+        )
+    # after 5 frames every landmark outlives minimum_life=2
+    assert len(disp.persistent) == 6
+    assert len(disp.trail) == 5
+    out = disp.render(str(tmp_path / "map.png"))
+    import os
+    assert os.path.getsize(out) > 0
