@@ -63,8 +63,18 @@ def run_dataset(
     limit_rate: float | None = None,
     profile_dir: str | None = None,
 ):
-    """Run the full real-data pipeline; returns (writer, summary dict)."""
+    """Run the full real-data pipeline; returns (writer, summary dict).
+
+    ``start``/``stop`` are offsets from the first data time, matching the
+    reference (``main_opt.cpp:124-130``), so batch YAMLs carry portable
+    per-sequence windows instead of absolute epoch stamps.
+    """
     reader = create_dataset_reader(mode, dataset_dir, camera_yaml)
+
+    first_stamps = [s[0] for s in (reader.imu.stamps, reader.images.stamps) if len(s)]
+    t0_data = float(min(first_stamps)) if first_stamps else 0.0
+    start = t0_data + start if start and start > 0 else None
+    stop = t0_data + stop if stop and stop > 0 else None
     settings = settings_from_config(config)
     tcfg = tracker_config_from_config(config)
 
@@ -314,6 +324,12 @@ def main(argv=None):
     dtype = configure_runtime()
 
     config = load_config(args.config)
+    # config main: section supplies defaults the CLI can override
+    main_cfg = config.get("main", {}) or {}
+    if args.start is None and float(main_cfg.get("startTime", 0.0)) > 0:
+        args.start = float(main_cfg["startTime"])
+    if not args.limit_rate and float(main_cfg.get("limitRate", 0.0)) > 0:
+        args.limit_rate = float(main_cfg["limitRate"])
     _, summary = run_dataset(
         args.dataset,
         config,

@@ -143,3 +143,18 @@ def test_run_opt_simimu(synthetic_dataset):
     assert summary["frames"] == 15
     assert summary["landmarks"] > 3
     assert not np.any(np.isnan(summary["final_position"]))
+
+
+def test_run_opt_start_stop_window(synthetic_dataset):
+    """--start/--stop are offsets from the first data time
+    (main_opt.cpp:124-130), windowing the processed frames."""
+    path, _ = synthetic_dataset
+    from eqvio_tpu.app.run_opt import run_dataset
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..", "configs", "config_template.yaml"))
+    cfg["GIFT"]["maxFeatures"] = 12
+    _, full = run_dataset(path, cfg, simvis=True)
+    _, windowed = run_dataset(path, cfg, simvis=True, start=1.0, stop=3.0)
+    assert 0 < windowed["frames"] < full["frames"]
+    # ~2 s of a 10 fps stream
+    assert windowed["frames"] <= 2.0 * 10 + 2
