@@ -176,3 +176,119 @@ def analyse_timing(path: str, skip_first: int = 10) -> dict:
     out["mean time (ms)"] = float(np.mean(total))
     out["fps"] = float(1e3 / max(np.mean(total), 1e-12))
     return out
+
+
+def make_report(output_dir: str, gt_csv: str | None = None, fig_dir: str | None = None,
+                gt_time_scale: float = 1e-9) -> dict:
+    """Produce the per-dataset figure set from a run's output directory.
+
+    Mirrors the reference's offline ``analyse_dataset`` plot family
+    (``analysis_tools.py:368-410``): trajectory / position error /
+    velocity / biases / camera offset / feature count, plus the timing
+    figures when ``timing.csv`` exists. Returns {figure name: path}.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from .visualisation import plot_timing, plot_trajectory
+
+    fig_dir = fig_dir or os.path.join(output_dir, "figures")
+    os.makedirs(fig_dir, exist_ok=True)
+    paths = {}
+
+    est = load_imu_state_csv(os.path.join(output_dir, "IMUState.csv"))
+    t = est["t"] - est["t"][0]
+
+    gt_pos = None
+    if gt_csv and os.path.exists(gt_csv):
+        gt = np.genfromtxt(gt_csv, delimiter=",", skip_header=1)
+        gt_t = gt[:, 0] * gt_time_scale
+        gt_pos = _resample(gt_t, gt[:, 1:4], est["t"])
+
+    paths["trajectory"] = plot_trajectory(
+        est["position"], gt_pos, os.path.join(fig_dir, "trajectory.pdf")
+    )
+
+    if gt_pos is not None:
+        s, R, tr = umeyama_alignment(est["position"], gt_pos, with_scale=True)
+        err = (s * (R @ est["position"].T)).T + tr - gt_pos
+        fig, ax = plt.subplots(figsize=(10, 4))
+        for k, lab in enumerate("xyz"):
+            ax.plot(t, err[:, k], label=lab)
+        ax.plot(t, np.linalg.norm(err, axis=-1), "k", label="|err|")
+        ax.set_xlabel("time (s)")
+        ax.set_ylabel("position error (m)")
+        ax.legend()
+        fig.savefig(os.path.join(fig_dir, "position_error.pdf"), bbox_inches="tight")
+        plt.close(fig)
+        paths["position_error"] = os.path.join(fig_dir, "position_error.pdf")
+
+    fig, ax = plt.subplots(figsize=(10, 4))
+    for k, lab in enumerate("xyz"):
+        ax.plot(t, est["velocity"][:, k], label=f"v{lab}")
+    ax.set_xlabel("time (s)")
+    ax.set_ylabel("velocity (m/s)")
+    ax.legend()
+    fig.savefig(os.path.join(fig_dir, "velocity.pdf"), bbox_inches="tight")
+    plt.close(fig)
+    paths["velocity"] = os.path.join(fig_dir, "velocity.pdf")
+
+    bias_path = os.path.join(output_dir, "bias.csv")
+    if os.path.exists(bias_path):
+        b = np.genfromtxt(bias_path, delimiter=",", skip_header=1, ndmin=2)
+        fig, axs = plt.subplots(2, 1, figsize=(10, 6), sharex=True)
+        for k, lab in enumerate("xyz"):
+            axs[0].plot(b[:, 0] - b[0, 0], b[:, 1 + k], label=lab)
+            axs[1].plot(b[:, 0] - b[0, 0], b[:, 4 + k], label=lab)
+        axs[0].set_ylabel("gyr bias (rad/s)")
+        axs[1].set_ylabel("acc bias (m/s²)")
+        axs[1].set_xlabel("time (s)")
+        axs[0].legend()
+        fig.savefig(os.path.join(fig_dir, "biases.pdf"), bbox_inches="tight")
+        plt.close(fig)
+        paths["biases"] = os.path.join(fig_dir, "biases.pdf")
+
+    cam_path = os.path.join(output_dir, "camera.csv")
+    if os.path.exists(cam_path):
+        c = np.genfromtxt(cam_path, delimiter=",", skip_header=1, ndmin=2)
+        fig, axs = plt.subplots(2, 1, figsize=(10, 6), sharex=True)
+        for k, lab in enumerate("xyz"):
+            axs[0].plot(c[:, 0] - c[0, 0], c[:, 1 + k], label=lab)
+        for k, lab in enumerate("wxyz"):
+            axs[1].plot(c[:, 0] - c[0, 0], c[:, 4 + k], label=f"q{lab}")
+        axs[0].set_ylabel("camera offset (m)")
+        axs[1].set_ylabel("camera offset quat")
+        axs[1].set_xlabel("time (s)")
+        axs[0].legend()
+        axs[1].legend(fontsize=7)
+        fig.savefig(os.path.join(fig_dir, "camera_offset.pdf"), bbox_inches="tight")
+        plt.close(fig)
+        paths["camera_offset"] = os.path.join(fig_dir, "camera_offset.pdf")
+
+    feat_path = os.path.join(output_dir, "features.csv")
+    if os.path.exists(feat_path):
+        times, counts = [], []
+        with open(feat_path) as f:
+            next(f)
+            for line in f:
+                cells = [c for c in line.strip().split(",") if c.strip()]
+                times.append(float(cells[0]))
+                counts.append((len(cells) - 1) // 3)
+        fig, ax = plt.subplots(figsize=(10, 4))
+        ax.plot(np.asarray(times) - times[0], counts)
+        ax.set_xlabel("time (s)")
+        ax.set_ylabel("tracked features")
+        fig.savefig(os.path.join(fig_dir, "features.pdf"), bbox_inches="tight")
+        plt.close(fig)
+        paths["features"] = os.path.join(fig_dir, "features.pdf")
+
+    timing_path = os.path.join(output_dir, "timing.csv")
+    if os.path.exists(timing_path):
+        try:
+            paths.update(plot_timing(load_timing_csv(timing_path), fig_dir))
+        except Exception:
+            pass  # too few rows after warm-up skip
+
+    return paths

@@ -17,12 +17,13 @@ import os
 
 import yaml
 
-from ..analysis import analyse_output_dir, summarise_results
+from ..analysis import analyse_output_dir, make_report, summarise_results
 from ..io import load_config
 from .run_opt import run_dataset
 
 
-def run_batch(dataset_list: str, config_path: str, output_root: str, dtype=None):
+def run_batch(dataset_list: str, config_path: str, output_root: str, dtype=None,
+              plots: bool = True):
     if dtype is None:
         from ._env import configure_runtime
 
@@ -56,6 +57,8 @@ def run_batch(dataset_list: str, config_path: str, output_root: str, dtype=None)
             print(f"  position rmse: {res['position (m)']['rmse']:.4f} m  "
                   f"scale: {res['scale']:.4f}")
             result_files.append(os.path.join(out_dir, "results.yaml"))
+            if plots:
+                make_report(out_dir, gt)
 
     summary = summarise_results(result_files)
     with open(os.path.join(output_root, "summary.yaml"), "w") as f:
@@ -70,8 +73,9 @@ def main(argv=None):
     ap.add_argument("datasets")
     ap.add_argument("config")
     ap.add_argument("--output", default="batch_out")
+    ap.add_argument("--noPlots", action="store_true")
     args = ap.parse_args(argv)
-    run_batch(args.datasets, args.config, args.output)
+    run_batch(args.datasets, args.config, args.output, plots=not args.noPlots)
 
 
 if __name__ == "__main__":

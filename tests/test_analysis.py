@@ -117,3 +117,35 @@ def test_map_display(tmp_path):
     out = disp.render(str(tmp_path / "map.png"))
     import os
     assert os.path.getsize(out) > 0
+
+
+def test_make_report(tmp_path):
+    """Figure-report parity with the reference's analyse_dataset plot set."""
+    import os
+
+    from eqvio_tpu.analysis import make_report
+    from eqvio_tpu.io import VIOWriter
+
+    out = str(tmp_path / "run")
+    gt_rows = []
+    with VIOWriter(out) as w:
+        for k in range(30):
+            t = 0.1 * k
+            pos = np.array([0.2 * t, 0.1 * np.sin(t), 0.0])
+            w.write_states(t, np.eye(3), pos, np.array([0.2, 0.1 * np.cos(t), 0]),
+                           np.eye(3), np.zeros(3), 1e-3 * np.ones(6),
+                           landmarks=np.zeros((2, 3)), landmark_ids=np.array([0, 1]),
+                           landmark_mask=np.array([True, True]))
+            w.write_features(t, np.zeros((2, 2)), np.array([0, 1]),
+                             np.array([True, True]))
+            w.write_timing(t, {"features": 1e-3, "propagation": 2e-3,
+                               "correction": 1e-3, "total": 4e-3})
+            gt_rows.append([t * 1e9, *pos, 1, 0, 0, 0])
+    gt_csv = str(tmp_path / "gt.csv")
+    np.savetxt(gt_csv, np.asarray(gt_rows), delimiter=",",
+               header="t,px,py,pz,qw,qx,qy,qz", comments="")
+
+    paths = make_report(out, gt_csv)
+    for name in ("trajectory", "position_error", "velocity", "biases",
+                 "camera_offset", "features", "timing_flamegraph"):
+        assert name in paths and os.path.getsize(paths[name]) > 0, name
