@@ -62,6 +62,7 @@ def run_dataset(
     simimu: bool = False,
     limit_rate: float | None = None,
     profile_dir: str | None = None,
+    camera_lag: float | None = None,
 ):
     """Run the full real-data pipeline; returns (writer, summary dict).
 
@@ -69,7 +70,9 @@ def run_dataset(
     reference (``main_opt.cpp:124-130``), so batch YAMLs carry portable
     per-sequence windows instead of absolute epoch stamps.
     """
-    reader = create_dataset_reader(mode, dataset_dir, camera_yaml)
+    if camera_lag is None:
+        camera_lag = float((config.get("main", {}) or {}).get("cameraLag", 0.0))
+    reader = create_dataset_reader(mode, dataset_dir, camera_yaml, camera_lag)
 
     first_stamps = [s[0] for s in (reader.imu.stamps, reader.images.stamps) if len(s)]
     t0_data = float(min(first_stamps)) if first_stamps else 0.0

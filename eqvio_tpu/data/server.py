@@ -23,9 +23,23 @@ class Measurement(NamedTuple):
     index: int
 
 
-def create_dataset_reader(mode: str, dataset_dir: str, camera_yaml: str | None = None):
+def create_dataset_reader(mode: str, dataset_dir: str, camera_yaml: str | None = None,
+                          camera_lag: float = 0.0):
     """Factory mirroring the reference ``createDatasetReader``
-    (``dataservers.h:35-55``)."""
+    (``dataservers.h:35-55``). ``camera_lag`` shifts image stamps earlier by
+    the image-vs-IMU latency (reference ``DatasetReaderBase.h:71``, applied
+    per reader, e.g. ``ASLDatasetReader.cpp:71``)."""
+    reader = _create_reader(mode, dataset_dir, camera_yaml)
+    if camera_lag:
+        from .asl import ImageSeq
+
+        reader.images = ImageSeq(
+            reader.images.stamps - camera_lag, reader.images.paths
+        )
+    return reader
+
+
+def _create_reader(mode: str, dataset_dir: str, camera_yaml: str | None):
     mode = mode.lower()
     if mode in ("asl", "euroc"):
         from .asl import ASLDatasetReader

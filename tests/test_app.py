@@ -158,3 +158,17 @@ def test_run_opt_start_stop_window(synthetic_dataset):
     assert 0 < windowed["frames"] < full["frames"]
     # ~2 s of a 10 fps stream
     assert windowed["frames"] <= 2.0 * 10 + 2
+
+
+def test_camera_lag_shifts_image_stamps(synthetic_dataset):
+    """main:cameraLag shifts image stamps earlier relative to the IMU
+    (reference DatasetReaderBase.h:71, ASLDatasetReader.cpp:71)."""
+    path, _ = synthetic_dataset
+    from eqvio_tpu.data import create_dataset_reader
+
+    base = create_dataset_reader("asl", path)
+    lagged = create_dataset_reader("asl", path, camera_lag=0.025)
+    np.testing.assert_allclose(
+        lagged.images.stamps, base.images.stamps - 0.025, atol=1e-12
+    )
+    np.testing.assert_allclose(lagged.imu.stamps, base.imu.stamps, atol=1e-12)
