@@ -37,6 +37,9 @@ def main(argv=None):
     ap.add_argument("--initialNoise", action="store_true")
     ap.add_argument("--landmarkReset", type=int, default=0,
                     help="reset all landmarks to truth every N frames")
+    ap.add_argument("--consistency", action="store_true",
+                    help="write pose/bias consistency, NEES breakdown and "
+                         "landmark-error CSVs (reference eqvio_sim outputs)")
     ap.add_argument("--f32", action="store_true")
     args = ap.parse_args(argv)
 
@@ -61,6 +64,7 @@ def main(argv=None):
         output_noise=args.outputNoise,
         initial_noise=args.initialNoise,
         landmark_reset_every=args.landmarkReset,
+        consistency=args.consistency,
         dtype=dtype,
     )
 
@@ -92,7 +96,25 @@ def main(argv=None):
                     np.asarray(res.true_velocity[k]),
                     np.zeros(6),
                 )
-                writer.write_nees(times[k], nees[k], 21 + 3 * int(res.num_landmarks[k]))
+                if res.consistency is not None:
+                    pose_nees, att_nees, eps, sig_diag, lm_err = [
+                        np.asarray(a) for a in res.consistency
+                    ]
+                    writer.write_nees(
+                        times[k], nees[k], 21 + 3 * int(res.num_landmarks[k]),
+                        pose_nees[k], att_nees[k],
+                    )
+                    writer.write_pose_consistency(
+                        times[k], eps[k, 6:12], sig_diag[k, 6:12]
+                    )
+                    writer.write_bias_consistency(
+                        times[k], eps[k, 0:6], sig_diag[k, 0:6]
+                    )
+                    writer.write_landmark_error(
+                        times[k], lm_err[k], ~np.isnan(lm_err[k])
+                    )
+                else:
+                    writer.write_nees(times[k], nees[k], 21 + 3 * int(res.num_landmarks[k]))
         print(f"wrote outputs to {args.output}")
 
 

@@ -796,3 +796,36 @@ def predict_state(
 
     xi, _ = jax.lax.scan(body, xi, (imu_window, dts))
     return xi
+
+
+def consistency_outputs(
+    state: EqFState, true_state: VIOState, suite: CoordinateSuite | None = None,
+    settings: Settings | None = None,
+):
+    """Everything the sim consistency CSVs need, in one pass
+    (reference ``VIOWriter::writeConsistency``, VIOWriter.cpp:141-228):
+    (total NEES, pose NEES, attitude NEES, sensor error coordinates
+    eps[21], marginal Sigma diagonal[21], per-slot landmark position
+    error norms [N]).
+    """
+    if suite is None:
+        suite = (settings or Settings()).suite
+    err_state = state_action(group_inv(state.X), true_state)
+    eps = suite.chart.chart(err_state, state.xi0) * _mask_vec(state.xi0)
+    dim = SENSOR_DIM + 3 * jnp.sum(state.xi0.mask)
+    total = jnp.sum(eps * jnp.linalg.solve(state.Sigma, eps)) / dim
+    pose_eps = eps[6:12]
+    pose = pose_eps @ jnp.linalg.solve(state.Sigma[6:12, 6:12], pose_eps) / 6.0
+    att_eps = eps[6:9]
+    att = att_eps @ jnp.linalg.solve(state.Sigma[6:9, 6:9], att_eps) / 3.0
+    est = state_estimate(state)
+    lm_err = jnp.linalg.norm(est.landmarks - true_state.landmarks, axis=-1)
+    lm_err = jnp.where(state.xi0.mask, lm_err, jnp.nan)
+    return (
+        total,
+        pose,
+        att,
+        eps[:SENSOR_DIM],
+        jnp.diagonal(state.Sigma)[:SENSOR_DIM],
+        lm_err,
+    )

@@ -70,6 +70,9 @@ class SimRunResult(NamedTuple):
     true_velocity: jnp.ndarray  # [T, 3]
     nees: jnp.ndarray  # [T]
     num_landmarks: jnp.ndarray  # [T]
+    # full consistency mode: (pose_nees [T], attitude_nees [T], eps [T, 21],
+    # sigma_diag [T, 21], landmark_err [T, N]); None unless requested
+    consistency: tuple | None = None
 
 
 def default_sim_camera(dtype=jnp.float64) -> PinholeCamera:
@@ -219,6 +222,7 @@ def build_sim_runner(
     batch: int | None = None,
     mesh=None,
     landmark_reset_every: int = 0,
+    consistency: bool = False,
 ):
     """Build a reusable jitted whole-sequence runner ``() -> SimRunResult``.
 
@@ -296,7 +300,13 @@ def build_sim_runner(
             ids=state.xi0.ids,
             mask=state.xi0.mask,
         )
-        if compute_nees:
+        extras = ()
+        if consistency:
+            nees, pose_nees, att_nees, eps, sig_diag, lm_err = F.consistency_outputs(
+                state, true_slots, suite, settings
+            )
+            extras = (pose_nees, att_nees, eps, sig_diag, lm_err)
+        elif compute_nees:
             nees = F.compute_nees(state, true_slots, suite, settings)
         else:
             nees = jnp.asarray(jnp.nan, dtype=true_pos.dtype)
@@ -311,7 +321,7 @@ def build_sim_runner(
             true_vel[k_frame],
             nees,
             jnp.sum(state.xi0.mask),
-        )
+        ) + extras
         return (state, tracker), out
 
     frame_ids = jnp.arange(ftimes.shape[0])
@@ -323,6 +333,8 @@ def build_sim_runner(
     if batch is None:
         def run() -> SimRunResult:
             (_, _), outs = run_scan(state, tracker)
+            if consistency:
+                return SimRunResult(ftimes, *outs[:8], consistency=tuple(outs[8:]))
             return SimRunResult(ftimes, *outs)
 
         return run
@@ -449,6 +461,7 @@ def run_simulation(
     settings: F.Settings,
     augment_true_landmarks: bool = True,
     landmark_reset_every: int = 0,
+    consistency: bool = False,
     **kwargs,
 ) -> SimRunResult:
     """Prepare inputs and run the full simulated VIO pipeline (convenience)."""
@@ -456,6 +469,7 @@ def run_simulation(
     return run_prepared(
         settings, inputs, augment_true_landmarks,
         landmark_reset_every=landmark_reset_every,
+        consistency=consistency,
     )
 
 

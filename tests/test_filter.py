@@ -269,3 +269,24 @@ def test_health_check():
     indef = state._replace(Sigma=state.Sigma.at[0, 0].set(-1.0))
     h3 = F.health_check(indef)
     assert not bool(h3["sigma_pd"])
+
+
+def test_consistency_outputs_mode():
+    """Full consistency mode: pose/attitude NEES ~ O(1), eps within the
+    marginal sigmas, landmark errors finite for live slots."""
+    from eqvio_tpu.runner import run_simulation
+
+    settings = F.Settings(measurement_noise=0.5)
+    res = run_simulation(settings, capacity=12, max_features=10, end_time=6.0,
+                         consistency=True)
+    assert res.consistency is not None
+    pose_nees, att_nees, eps, sig_diag, lm_err = [np.asarray(a) for a in res.consistency]
+    T = len(np.asarray(res.times))
+    assert pose_nees.shape == (T,) and eps.shape == (T, 21)
+    assert sig_diag.shape == (T, 21) and lm_err.shape == (T, 12)
+    assert np.all(np.isfinite(pose_nees)) and np.all(np.isfinite(att_nees))
+    assert np.nanmedian(pose_nees) < 5.0
+    # noise-free augmented run: eps small relative to marginal sigma
+    assert np.all(np.abs(eps[-1]) <= 5 * np.sqrt(sig_diag[-1]) + 1e-6)
+    live = ~np.isnan(lm_err[-1])
+    assert live.sum() >= 5 and np.all(lm_err[-1][live] < 0.5)
