@@ -120,3 +120,27 @@ def test_template_config_has_all_keys(capsys):
         if "key not found" in line
     }
     assert missing <= allowed, f"template missing keys: {missing - allowed}"
+
+
+@pytest.mark.parametrize("name", ["config_EuRoC.yaml", "config_UZHFPV.yaml"])
+def test_shipped_configs_parse_clean(name, capsys):
+    """Every shipped tuned config parses with zero not-found warnings
+    (config-key drift guard over the full config set)."""
+    cfg_path = os.path.join(os.path.dirname(__file__), "..", "configs", name)
+    cfg = load_config(cfg_path)
+    settings = settings_from_config(cfg, warn=True)
+    err = capsys.readouterr().err
+    allowed = {"initialValue:cameraOffset"}
+    missing = {
+        line.split("key not found: ")[1]
+        for line in err.splitlines()
+        if "key not found" in line
+    }
+    assert missing <= allowed, f"{name} missing keys: {missing - allowed}"
+    # tuned switches survive the round-trip
+    assert settings.coordinate_choice == "invdepth"
+    assert settings.fast_riccati is True
+
+    from eqvio_tpu.io import tracker_config_from_config
+    tcfg = tracker_config_from_config(cfg)
+    assert 0 < tcfg.feature_search_threshold <= 1.0
