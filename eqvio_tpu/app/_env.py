@@ -9,13 +9,22 @@ on TPU, where the float32-precision matmuls keep the filter stable.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 
 def configure_runtime(prefer_x64: bool = True):
-    """Set global precision knobs; returns the preferred state dtype."""
+    """Set global precision knobs; returns the preferred state dtype.
+
+    ``EQVIO_DEBUG_NANS=1`` turns on jax NaN-checking in every entry point —
+    the runtime analogue of the reference's sanitizer builds + pervasive
+    ``assert(!hasNaN())`` (SURVEY.md section 5.3).
+    """
     jax.config.update("jax_default_matmul_precision", "float32")
+    if os.environ.get("EQVIO_DEBUG_NANS"):
+        jax.config.update("jax_debug_nans", True)
     if prefer_x64 and jax.default_backend() == "cpu":
         jax.config.update("jax_enable_x64", True)
         return jnp.float64
