@@ -83,7 +83,7 @@ def main():
     # batch-of-sequences aggregate throughput (the reference runs sequences
     # serially; one chip can run many filter instances in one program).
     # Guarded: whatever happens here, the single-sequence line still prints.
-    B = int(os.environ.get("BENCH_BATCH", "32"))
+    B = int(os.environ.get("BENCH_BATCH", "128"))
     if B > 1:
         try:
             run_b = build_sim_runner(

@@ -26,10 +26,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="TPU-native EqVIO simulation")
     ap.add_argument("config", nargs="?", default=None)
     ap.add_argument("--output", default=None)
-    ap.add_argument("--trajectory", default="wave")
-    ap.add_argument("--time", type=float, default=30.0)
-    ap.add_argument("--capacity", type=int, default=32)
-    ap.add_argument("--maxFeatures", type=int, default=30)
+    ap.add_argument("--trajectory", default=None)
+    ap.add_argument("--time", type=float, default=None)
+    ap.add_argument("--capacity", type=int, default=None)
+    ap.add_argument("--maxFeatures", type=int, default=None)
     ap.add_argument("--selfInit", action="store_true",
                     help="initialise landmarks from measurements, not ground truth")
     ap.add_argument("--inputNoise", action="store_true")
@@ -47,25 +47,44 @@ def main(argv=None):
 
     preferred = configure_runtime(prefer_x64=not args.f32)
 
+    sim_params = {}
     if args.config:
-        settings = settings_from_config(load_config(args.config))
+        cfg = load_config(args.config)
+        settings = settings_from_config(cfg)
+        # sim: section defaults (SimulationDataServer.cpp:148,224-232);
+        # explicit CLI flags override below
+        from ..io import sim_params_from_config
+
+        sim_params = sim_params_from_config(cfg)
     else:
         settings = F.Settings(measurement_noise=0.5)
+
+    if args.trajectory is not None:
+        sim_params["kind"] = args.trajectory
+    if args.time is not None:
+        sim_params["end_time"] = args.time
+    if args.maxFeatures is not None:
+        sim_params["max_features"] = args.maxFeatures
+    for flag, name in (("inputNoise", "input_noise"), ("outputNoise", "output_noise"),
+                       ("initialNoise", "initial_noise")):
+        if getattr(args, flag):
+            sim_params[name] = True
+    sim_params.setdefault("kind", "wave")
+    sim_params.setdefault("end_time", 30.0)
+    sim_params.setdefault("max_features", 30)
+    capacity = args.capacity if args.capacity is not None else max(
+        32, sim_params["max_features"]
+    )
 
     dtype = jnp.float32 if args.f32 else preferred
     res = run_simulation(
         settings,
-        capacity=args.capacity,
-        max_features=args.maxFeatures,
-        end_time=args.time,
-        kind=args.trajectory,
+        capacity=capacity,
         augment_true_landmarks=not args.selfInit,
-        input_noise=args.inputNoise,
-        output_noise=args.outputNoise,
-        initial_noise=args.initialNoise,
         landmark_reset_every=args.landmarkReset,
         consistency=args.consistency,
         dtype=dtype,
+        **sim_params,
     )
 
     est = np.asarray(res.est_position)

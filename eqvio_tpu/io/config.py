@@ -127,3 +127,32 @@ def tracker_config_from_config(cfg: dict) -> TrackerConfig:
         flow_outlier_threshold=float(g("flowOutlierThreshold",
                                        20.0 if g("ransacParams", None) else 0.0)),
     )
+
+
+def sim_params_from_config(cfg: dict) -> dict:
+    """Map the ``sim:`` YAML section onto ``prepare_sim_inputs`` kwargs.
+
+    Key names follow the reference's simulation settings
+    (``SimulationDataServer.cpp:148,224-232`` and the sim block of
+    ``EQVIO_config_template.yaml``): trajectory / duration / imuFreq /
+    imageFreq / maxFeatures / numPoints / randomSeed / noise switches.
+    """
+    sim = cfg.get("sim", {}) or {}
+    mapping = {
+        "trajectory": ("kind", str),
+        "duration": ("end_time", float),
+        "imuFreq": ("imu_freq", float),
+        "imageFreq": ("frame_freq", float),
+        "maxFeatures": ("max_features", int),
+        "numPoints": ("num_points", int),
+        "numWalls": ("num_walls", int),
+        "randomSeed": ("seed", int),
+        "initialNoise": ("initial_noise", bool),
+        "inputNoise": ("input_noise", bool),
+        "outputNoise": ("output_noise", bool),
+    }
+    out = {}
+    for key, (name, cast) in mapping.items():
+        if key in sim:
+            out[name] = cast(sim[key])
+    return out
