@@ -354,6 +354,8 @@ def build_sim_runner(
 
     def run_batch() -> SimRunResult:
         (_, _), outs = vrun(states_b, tracker_b)
+        if consistency:
+            return SimRunResult(ftimes, *outs[:8], consistency=tuple(outs[8:]))
         return SimRunResult(ftimes, *outs)
 
     return run_batch

@@ -290,3 +290,17 @@ def test_consistency_outputs_mode():
     assert np.all(np.abs(eps[-1]) <= 5 * np.sqrt(sig_diag[-1]) + 1e-6)
     live = ~np.isnan(lm_err[-1])
     assert live.sum() >= 5 and np.all(lm_err[-1][live] < 0.5)
+
+
+def test_consistency_outputs_batch_mode():
+    """Consistency extras survive the vmapped batch-of-sequences runner."""
+    from eqvio_tpu.runner import build_sim_runner, prepare_sim_inputs
+
+    settings = F.Settings(measurement_noise=0.5)
+    inputs = prepare_sim_inputs(settings, capacity=8, max_features=6, end_time=3.0)
+    res = build_sim_runner(settings, inputs, batch=2, consistency=True)()
+    assert res.consistency is not None
+    pose_nees = np.asarray(res.consistency[0])
+    T = np.asarray(res.times).shape[0]
+    assert pose_nees.shape == (2, T)
+    assert np.all(np.isfinite(pose_nees))
