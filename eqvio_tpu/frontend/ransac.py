@@ -1,0 +1,142 @@
+"""Batched fundamental-matrix RANSAC gate for tracked features.
+
+TPU-native replacement for GIFT's RANSAC outlier-rejection stage
+(reference config keys ``GIFT:ransacParams:{inlierThreshold, maxIterations,
+minDataPoints, minInliers}``, used by ``GIFT::PointFeatureTracker`` inside
+``processImage``; see SURVEY.md section 2.8).  Instead of the classical
+sequential hypothesise-and-verify loop (data-dependent iteration counts are
+jit-hostile), ALL hypotheses are solved simultaneously:
+
+- sample K hypotheses of 8 correspondences each with one masked argsort,
+- solve the normalised 8-point problem for all K at once with a single
+  batched 9x9 eigendecomposition of ``A^T A``,
+- enforce rank 2 with a batched 3x3 SVD,
+- score every correspondence against every hypothesis with one batched
+  Sampson-distance evaluation ``[K, N]``,
+- pick the hypothesis with the most masked inliers.
+
+Everything is static-shape and fully jittable; the whole gate compiles into
+a handful of fused XLA ops (K*N is tiny next to the image kernels).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _normalize(pts: jnp.ndarray, mask: jnp.ndarray):
+    """Masked Hartley normalisation: centroid 0, RMS distance sqrt(2).
+
+    Returns normalised points and the isotropic scale ``s`` (so a pixel
+    distance d corresponds to ``s * d`` in normalised units).
+    """
+    w = mask.astype(pts.dtype)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    c = jnp.sum(pts * w[:, None], axis=0) / n
+    d = jnp.linalg.norm(pts - c, axis=-1)
+    mean_d = jnp.maximum(jnp.sum(d * w) / n, 1e-9)
+    s = jnp.sqrt(2.0).astype(pts.dtype) / mean_d
+    return (pts - c) * s, s
+
+
+def _eight_point(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
+    """Batched 8-point fundamental matrices.
+
+    ``p1, p2: [K, 8, 2]`` normalised correspondences -> ``F: [K, 3, 3]``
+    with rank 2 enforced, satisfying ``x2^T F x1 = 0``.
+    """
+    x1, y1 = p1[..., 0], p1[..., 1]
+    x2, y2 = p2[..., 0], p2[..., 1]
+    one = jnp.ones_like(x1)
+    # rows of the epipolar constraint x2^T F x1 = 0, vectorised over [K, 8]
+    A = jnp.stack(
+        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, one], axis=-1
+    )  # [K, 8, 9]
+    G = jnp.einsum("kri,krj->kij", A, A)  # [K, 9, 9]
+    _, vecs = jnp.linalg.eigh(G)
+    f = vecs[..., 0]  # eigenvector of the smallest eigenvalue
+    F = f.reshape(-1, 3, 3)
+    # rank-2 projection (zero the smallest singular value)
+    U, S, Vt = jnp.linalg.svd(F)
+    S = S.at[:, 2].set(0.0)
+    return jnp.einsum("kij,kj,kjl->kil", U, S, Vt)
+
+
+def _sampson(F: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
+    """Sampson distance of every correspondence under every hypothesis.
+
+    ``F: [K, 3, 3]``, ``p1, p2: [N, 2]`` -> ``[K, N]`` (first-order geometric
+    reprojection error, in the units of the input coordinates).
+    """
+    ones = jnp.ones((p1.shape[0], 1), dtype=p1.dtype)
+    x1 = jnp.concatenate([p1, ones], axis=-1)  # [N, 3]
+    x2 = jnp.concatenate([p2, ones], axis=-1)
+    Fx1 = jnp.einsum("kij,nj->kni", F, x1)  # [K, N, 3]
+    Ftx2 = jnp.einsum("kji,nj->kni", F, x2)
+    num = jnp.square(jnp.einsum("ni,kni->kn", x2, Fx1))
+    den = (
+        jnp.square(Fx1[..., 0])
+        + jnp.square(Fx1[..., 1])
+        + jnp.square(Ftx2[..., 0])
+        + jnp.square(Ftx2[..., 1])
+    )
+    return num / jnp.maximum(den, 1e-12)
+
+
+def ransac_epipolar_mask(
+    prev: jnp.ndarray,
+    curr: jnp.ndarray,
+    mask: jnp.ndarray,
+    key: jax.Array,
+    threshold: float = 1.0,
+    hypotheses: int = 64,
+    min_points: int = 8,
+    min_inliers: int = 8,
+) -> jnp.ndarray:
+    """Refine ``mask`` by epipolar-consistency RANSAC between two frames.
+
+    Args:
+      prev, curr: ``[N, 2]`` pixel positions in the previous / current frame.
+      mask: ``[N]`` bool, tracks considered.
+      key: PRNG key for hypothesis sampling.
+      threshold: Sampson-distance inlier threshold in PIXELS.
+      hypotheses: number of simultaneous minimal-sample hypotheses (the
+        batched analogue of ``ransacParams:maxIterations``).
+      min_points: skip the gate when fewer tracks than this survive
+        (8-point minimum; ``ransacParams:minDataPoints`` clamped up to 8).
+      min_inliers: keep the original mask when the best hypothesis explains
+        fewer tracks than this (``ransacParams:minInliers`` semantics —
+        a degenerate/ambiguous geometry should not wipe out the tracker).
+
+    Returns the refined ``[N]`` bool mask (a subset of ``mask``).
+    """
+    N = prev.shape[0]
+    K = hypotheses
+    n_tracked = jnp.sum(mask)
+
+    # masked Hartley normalisation (conditioning for the 8-point solve)
+    p1n, s1 = _normalize(prev, mask)
+    p2n, s2 = _normalize(curr, mask)
+
+    # sample K draws of 8 distinct tracked indices: random scores, masked out
+    # slots pushed to +inf, one argsort per hypothesis
+    scores = jax.random.uniform(key, (K, N))
+    scores = jnp.where(mask[None, :], scores, jnp.inf)
+    idx = jnp.argsort(scores, axis=-1)[:, :8]  # [K, 8]
+    F = _eight_point(p1n[idx], p2n[idx])
+
+    # score all correspondences under all hypotheses; threshold is given in
+    # pixels -> convert to normalised units via the isotropic scales
+    d2 = _sampson(F, p1n, p2n)  # [K, N] squared normalised Sampson distance
+    thr2 = jnp.square(threshold) * s1 * s2  # d^2 scales by s1*s2 (bilinear F)
+    inlier = (d2 < thr2) & mask[None, :]
+    counts = jnp.sum(inlier, axis=-1)
+    best = jnp.argmax(counts)
+    refined = inlier[best]
+
+    # degenerate-geometry guards: not enough tracks to hypothesise, or the
+    # best consensus is too small to be trusted -> leave the mask unchanged
+    min_pts = max(int(min_points), 8)
+    usable = (n_tracked >= min_pts) & (counts[best] >= min_inliers)
+    return jnp.where(usable, refined, mask)

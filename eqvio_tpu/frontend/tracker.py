@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from .detector import detect_features, equalize_histogram
 from .klt import track_features
 from .pyramid import build_pyramid
+from .ransac import ransac_epipolar_mask
 
 
 @dataclasses.dataclass(frozen=True)
@@ -39,7 +40,11 @@ class TrackerConfig:
     equalize_histogram: bool = False
     use_pallas: bool = False  # VMEM-resident Pallas KLT kernel on TPU
     flow_outlier_threshold: float = 0.0  # median-flow gate (px); 0 disables
-    # (RANSAC-lite stand-in for GIFT's ransacParams outlier rejection)
+    # batched epipolar RANSAC gate (GIFT ransacParams equivalent);
+    # threshold is the Sampson inlier distance in px, 0 disables
+    ransac_inlier_threshold: float = 0.0
+    ransac_hypotheses: int = 64  # simultaneous minimal samples (maxIterations)
+    ransac_min_inliers: int = 8  # keep-all guard (minInliers)
 
 
 class TrackerState(NamedTuple):
@@ -95,8 +100,22 @@ def tracker_step(
         max_error=config.max_error,
         use_pallas=config.use_pallas,
     )
+    # epipolar RANSAC gate (GIFT ransacParams equivalent): drop tracks that
+    # violate the consensus two-view geometry between previous and current
+    # frame; all hypotheses solved in one batched eigendecomposition
+    if config.ransac_inlier_threshold > 0:
+        key = jax.random.fold_in(jax.random.PRNGKey(7), state.next_id)
+        tracked = ransac_epipolar_mask(
+            state.positions,
+            new_pos,
+            tracked,
+            key,
+            threshold=config.ransac_inlier_threshold,
+            hypotheses=config.ransac_hypotheses,
+            min_inliers=config.ransac_min_inliers,
+        )
     # median-flow outlier gate: drop tracks whose flow deviates from the
-    # masked median flow (RANSAC-lite; replaces GIFT's ransac stage)
+    # masked median flow (cheap complement to the RANSAC stage)
     if config.flow_outlier_threshold > 0:
         flow = new_pos - state.positions
         big = jnp.asarray(1e9, dtype=flow.dtype)

@@ -124,9 +124,34 @@ def tracker_config_from_config(cfg: dict) -> TrackerConfig:
         max_error=float(g("maxError", 1e8)),
         feature_search_threshold=float(g("featureSearchThreshold", 1.0)),
         equalize_histogram=bool(g("equaliseImageHistogram", False)),
-        flow_outlier_threshold=float(g("flowOutlierThreshold",
-                                       20.0 if g("ransacParams", None) else 0.0)),
+        flow_outlier_threshold=float(g("flowOutlierThreshold", 0.0)),
+        **_ransac_kwargs(gift),
     )
+
+
+def _ransac_kwargs(gift: dict) -> dict:
+    """Map ``GIFT:ransacParams`` onto the batched epipolar gate.
+
+    The reference's ``inlierThreshold`` is expressed in undistorted
+    normalised-camera units (values ~1e-3, see
+    ``configs/EQVIO_config_EuRoC_stationary.yaml:10-14``); the tracker gate
+    works in pixels, so it is scaled by a nominal focal length (450 px,
+    EuRoC-class sensors) unless ``ransacInlierThresholdPx`` is given
+    explicitly.  ``maxIterations`` hypotheses run simultaneously (batched),
+    so the sequential-iteration knob maps directly onto the hypothesis count.
+    """
+    rp = gift.get("ransacParams", None)
+    if not rp:
+        return {}
+    nominal_focal = 450.0
+    thr_px = float(gift.get("ransacInlierThresholdPx",
+                            float(rp.get("inlierThreshold", 1.0 / nominal_focal))
+                            * nominal_focal))
+    return {
+        "ransac_inlier_threshold": thr_px,
+        "ransac_hypotheses": max(int(rp.get("maxIterations", 64)), 16),
+        "ransac_min_inliers": int(rp.get("minInliers", 8)),
+    }
 
 
 def sim_params_from_config(cfg: dict) -> dict:
