@@ -59,6 +59,124 @@ def _unflatten_state(d: dict, dtype=None) -> F.EqFState:
     return F.EqFState(xi0=xi0, X=X, Sigma=g("Sigma"), t=g("t"))
 
 
+def state_to_csv_line(state: F.EqFState) -> str:
+    """Serialise the filter state to one CSV line: ``[xi0, X, Sigma]``.
+
+    Mirrors the reference's ``operator<<(CSVLine&, const VIO_eqf&)``
+    (``VIO_eqf.cpp:247``, format documented at ``VIO_eqf.h:125-133``):
+
+    - ``xi0`` = pose (x, quat wxyz), velocity, cameraOffset (x, quat), bias,
+      N, then per landmark ``id, p`` (``VIOState.cpp:80-92``,
+      SE3 CSV order ``CSVLine.h:248``);
+    - ``X`` = beta, A (x, quat), w, B (x, quat), N, then per landmark
+      ``id, Q.a, Q.quat`` (``VIOGroup.cpp:132-139``, SOT3 order
+      ``CSVLine.h:263``);
+    - ``Sigma`` = the (21+3N)^2 entries row-major (``CSVLine.h:186``).
+
+    Only active landmark slots are written, in slot order, so the line is
+    capacity-independent; masked slots of Sigma are dropped accordingly.
+    """
+    from .io.writer import rotation_to_quaternion as r2q
+
+    st = jax.device_get(state)
+    xi0, X = st.xi0, st.X
+    sl = np.flatnonzero(np.asarray(xi0.mask))
+    n = len(sl)
+    vals: list = []
+
+    def se3(R, x):
+        vals.extend(np.asarray(x).ravel())
+        vals.extend(r2q(np.asarray(R)))
+
+    sensor = xi0.sensor
+    se3(sensor.pose.R, sensor.pose.x)
+    vals.extend(np.asarray(sensor.velocity))
+    se3(sensor.camera_offset.R, sensor.camera_offset.x)
+    vals.extend(np.asarray(sensor.bias))
+    vals.append(n)
+    lms, ids = np.asarray(xi0.landmarks), np.asarray(xi0.ids)
+    for i in sl:
+        vals.append(int(ids[i]))
+        vals.extend(lms[i])
+    vals.extend(np.asarray(X.beta))
+    se3(X.A.R, X.A.x)
+    vals.extend(np.asarray(X.w))
+    se3(X.B.R, X.B.x)
+    vals.append(n)
+    Qa, QR = np.asarray(X.Q.a), np.asarray(X.Q.R)
+    for i in sl:
+        vals.append(int(ids[i]))
+        vals.append(Qa[i])
+        vals.extend(r2q(QR[i]))
+    keep = np.concatenate([np.arange(21), (21 + 3 * sl[:, None] + np.arange(3)).ravel()]) \
+        if n else np.arange(21)
+    Sigma = np.asarray(st.Sigma)[np.ix_(keep, keep)]
+    vals.extend(Sigma.ravel())
+    return ", ".join(
+        str(v) if isinstance(v, int) else f"{float(v):.17g}" for v in vals
+    )
+
+
+def state_from_csv_line(line: str, capacity: int, dtype=None) -> F.EqFState:
+    """Parse a :func:`state_to_csv_line` line back into an ``EqFState``.
+
+    Landmarks land in slots ``0..N-1`` of a ``capacity``-slot state; the
+    masked remainder of Sigma carries identity rows (harmless — inactive)."""
+    from .analysis import quat_to_rot
+
+    tok = [t.strip() for t in line.split(",")]
+    pos = [0]
+
+    def take(k):
+        out = np.array([float(t) for t in tok[pos[0]:pos[0] + k]])
+        pos[0] += k
+        return out
+
+    def se3():
+        x = take(3)
+        return quat_to_rot(take(4)), x
+
+    dtype = dtype or jnp.zeros(0).dtype
+    Rp, xp = se3()
+    vel = take(3)
+    Rc, xc = se3()
+    bias = take(6)
+    n = int(take(1)[0])
+    if n > capacity:
+        raise ValueError(f"{n} landmarks > capacity {capacity}")
+    from .states import DUMMY_POINT
+
+    ids = np.full(capacity, -1, np.int32)
+    lms = np.tile(np.asarray(DUMMY_POINT, float), (capacity, 1))
+    for i in range(n):
+        ids[i] = int(take(1)[0])
+        lms[i] = take(3)
+    mask = np.arange(capacity) < n
+    beta = take(6)
+    RA, xA = se3()
+    w = take(3)
+    RB, xB = se3()
+    n2 = int(take(1)[0])
+    Qa = np.ones(capacity)
+    QR = np.tile(np.eye(3), (capacity, 1, 1))
+    for i in range(n2):
+        take(1)  # id (already recorded from xi0)
+        Qa[i] = take(1)[0]
+        QR[i] = quat_to_rot(take(4))
+    d = 21 + 3 * n
+    Sig = take(d * d).reshape(d, d)
+    D = 21 + 3 * capacity
+    Sigma = np.eye(D)
+    Sigma[:d, :d] = Sig
+    a = lambda v: jnp.asarray(v, dtype)
+    sensor = VIOSensorState(bias=a(bias), pose=SE3(a(Rp), a(xp)),
+                            velocity=a(vel), camera_offset=SE3(a(Rc), a(xc)))
+    xi0 = VIOState(sensor, a(lms), jnp.asarray(ids), jnp.asarray(mask))
+    X = VIOGroup(beta=a(beta), A=SE3(a(RA), a(xA)), w=a(w), B=SE3(a(RB), a(xB)),
+                 Q=SOT3(a(QR), a(Qa)))
+    return F.EqFState(xi0=xi0, X=X, Sigma=a(Sigma), t=a(0.0))
+
+
 def save_checkpoint(
     path: str,
     state: F.EqFState,

@@ -81,3 +81,44 @@ def test_resume_equivalence(tmp_path):
 
     np.testing.assert_allclose(np.asarray(s.Sigma), np.asarray(s3.Sigma), atol=1e-12)
     np.testing.assert_allclose(np.asarray(s.X.A.x), np.asarray(s3.X.A.x), atol=1e-12)
+
+
+def test_csv_line_roundtrip():
+    """Reference-format [xi0, X, Sigma] CSV line round-trips exactly
+    (VIO_eqf.cpp:247, VIO_eqf.h:125-133)."""
+    from eqvio_tpu.checkpoint import state_from_csv_line, state_to_csv_line
+    from .utils import reasonable_group, reasonable_state
+
+    rng = np.random.default_rng(3)
+    n, n_active = 6, 4
+    xi0 = reasonable_state(rng, n, n_active)
+    X = reasonable_group(rng, n)
+    D = 21 + 3 * n
+    M = rng.normal(size=(D, D))
+    Sigma = jnp.asarray(M @ M.T + np.eye(D))
+    state = F.EqFState(xi0=xi0, X=X, Sigma=Sigma, t=jnp.asarray(1.5))
+
+    line = state_to_csv_line(state)
+    # parse back at a LARGER capacity: active content must be preserved
+    st2 = state_from_csv_line(line, capacity=n + 3)
+    assert int(st2.xi0.mask.sum()) == n_active
+    np.testing.assert_array_equal(
+        np.asarray(st2.xi0.ids[:n_active]), np.asarray(xi0.ids[:n_active])
+    )
+    np.testing.assert_allclose(
+        np.asarray(st2.xi0.landmarks[:n_active]),
+        np.asarray(xi0.landmarks[:n_active]), atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st2.xi0.sensor.pose.R), np.asarray(xi0.sensor.pose.R), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(st2.X.Q.R[:n_active]), np.asarray(X.Q.R[:n_active]), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(st2.X.Q.a[:n_active]), np.asarray(X.Q.a[:n_active]), atol=1e-12
+    )
+    d = 21 + 3 * n_active
+    np.testing.assert_allclose(
+        np.asarray(st2.Sigma[:d, :d]), np.asarray(Sigma[:d, :d]), atol=1e-10
+    )
