@@ -32,6 +32,9 @@ def main(argv=None):
     ap.add_argument("--maxFeatures", type=int, default=None)
     ap.add_argument("--selfInit", action="store_true",
                     help="initialise landmarks from measurements, not ground truth")
+    ap.add_argument("--fullState", action="store_true",
+                    help="all world landmarks are always part of the state "
+                         "(reference eqvio_sim --fullState, main_sim.cpp:56-59)")
     ap.add_argument("--inputNoise", action="store_true")
     ap.add_argument("--outputNoise", action="store_true")
     ap.add_argument("--initialNoise", action="store_true")
@@ -72,6 +75,9 @@ def main(argv=None):
     sim_params.setdefault("kind", "wave")
     sim_params.setdefault("end_time", 30.0)
     sim_params.setdefault("max_features", 30)
+    if args.fullState:
+        # the whole world enters the state: keep it tractable by default
+        sim_params.setdefault("num_points", 120)
     capacity = args.capacity if args.capacity is not None else max(
         32, sim_params["max_features"]
     )
@@ -83,6 +89,7 @@ def main(argv=None):
         augment_true_landmarks=not args.selfInit,
         landmark_reset_every=args.landmarkReset,
         consistency=args.consistency,
+        full_state=args.fullState,
         dtype=dtype,
         **sim_params,
     )

@@ -98,6 +98,7 @@ class SimInputs(NamedTuple):
     true_pos: jnp.ndarray | None = None  # [T, 3]
     true_R: jnp.ndarray | None = None  # [T, 3, 3]
     true_vel: jnp.ndarray | None = None  # [T, 3]
+    true_lm_full: jnp.ndarray | None = None  # [T, P, 3] full-state mode only
 
 
 def prepare_sim_inputs(
@@ -118,12 +119,19 @@ def prepare_sim_inputs(
     dtype=jnp.float64,
     sim: Simulator | None = None,
     camera: PinholeCamera | None = None,
+    full_state: bool = False,
 ) -> SimInputs:
     """One-time host-side setup: trajectory, IMU batch, windows, initial state.
 
     Noise switches mirror the reference simulator's ``initialNoise /
     inputNoise / outputNoise`` (``VIOSimulator.cpp:163-167,258-262,300-307``):
     samples are drawn from the filter's own gain matrices.
+
+    ``full_state``: every world landmark is part of the filter state from
+    initialisation and stays there (reference ``eqvio_sim --fullState``,
+    ``main_sim.cpp:56-59,139``; the initial condition is the simulator's full
+    state with ALL world points, ``VIOSimulator.cpp:269-310``).  ``capacity``
+    is overridden to the world size.
     """
     if sim is None:
         sim = Simulator.create(
@@ -136,6 +144,8 @@ def prepare_sim_inputs(
         )
     if camera is None:
         camera = default_sim_camera(dtype)
+    if full_state:
+        capacity = int(sim.world.shape[0])
 
     t0 = 0.2
     imu_times = np.arange(t0, end_time, 1.0 / imu_freq)
@@ -158,9 +168,15 @@ def prepare_sim_inputs(
     # exact-state initialisation (reference main_sim.cpp:103, VIOFilter.cpp:43-56)
     true0 = sim.full_state(jnp.asarray(t0, dtype=dtype))
     state = F.init_state(settings, capacity, dtype)
-    xi0 = state.xi0._replace(
-        sensor=true0.sensor._replace(camera_offset=sim.camera_offset)
-    )
+    if full_state:
+        # seed with the complete true state: all world landmarks active
+        xi0 = true0._replace(
+            sensor=true0.sensor._replace(camera_offset=sim.camera_offset)
+        )
+    else:
+        xi0 = state.xi0._replace(
+            sensor=true0.sensor._replace(camera_offset=sim.camera_offset)
+        )
     state = state._replace(xi0=xi0, t=jnp.asarray(t0, dtype=dtype))
 
     if initial_noise:
@@ -194,6 +210,7 @@ def prepare_sim_inputs(
     true_pos = true_states.sensor.pose.x
     true_R = true_states.sensor.pose.R
     true_vel = true_states.sensor.velocity
+    true_lm_full = true_states.landmarks if full_state else None
 
     return SimInputs(
         sim=sim,
@@ -211,6 +228,7 @@ def prepare_sim_inputs(
         true_pos=true_pos,
         true_R=true_R,
         true_vel=true_vel,
+        true_lm_full=true_lm_full,
     )
 
 
@@ -223,6 +241,7 @@ def build_sim_runner(
     mesh=None,
     landmark_reset_every: int = 0,
     consistency: bool = False,
+    full_state: bool = False,
 ):
     """Build a reusable jitted whole-sequence runner ``() -> SimRunResult``.
 
@@ -258,14 +277,31 @@ def build_sim_runner(
         imu_win = jax.tree.map(lambda a: a[widx], imu_all)
         state = F.propagate_window(state, imu_win, wdts, settings, suite)
 
-        tracker = slot_tracker_step_compact(tracker, sel_ids_all[k_frame])
-        pixels, vis, ids, true_pts = gather_slots_compact(
-            sel_ids_all[k_frame], sel_pts_all[k_frame], tracker, camera
-        )
-        if pixel_noise is not None:
-            pixels = pixels + pixel_noise[k_frame] * vis[:, None]
+        if full_state:
+            # eqvio_sim --fullState: slots are world points (id i == slot i);
+            # measurement limited to the frame's maxFeatures selection, no
+            # landmark lifecycle (all landmarks always in the state,
+            # main_sim.cpp:56-59 + removeLostLandmarks=false semantics)
+            sel = sel_ids_all[k_frame]
+            match = (state.xi0.ids[:, None] == sel[None, :]) & (sel[None, :] >= 0)
+            vis = jnp.any(match, axis=1)
+            true_pts = inputs.true_lm_full[k_frame]
+            pixels = jnp.where(vis[:, None], camera.project(true_pts), 0.0)
+            if pixel_noise is not None:
+                pixels = pixels + pixel_noise[k_frame] * vis[:, None]
+            state = F.update_vision(state, pixels, vis, camera, settings, suite)
+            true_slots_lms = true_pts
+        else:
+            tracker = slot_tracker_step_compact(tracker, sel_ids_all[k_frame])
+            pixels, vis, ids, true_pts = gather_slots_compact(
+                sel_ids_all[k_frame], sel_pts_all[k_frame], tracker, camera
+            )
+            if pixel_noise is not None:
+                pixels = pixels + pixel_noise[k_frame] * vis[:, None]
 
-        if augment_true_landmarks:
+        if full_state:
+            pass
+        elif augment_true_landmarks:
             # main_sim path: lost landmarks removed, new landmarks initialised
             # at their TRUE positions (reference VIOFilter::augmentLandmarkStates,
             # VIOFilter.cpp:112-132)
@@ -292,7 +328,7 @@ def build_sim_runner(
         )
         true_slots = VIOState(
             sensor=true_sensor,
-            landmarks=jnp.where(
+            landmarks=true_slots_lms if full_state else jnp.where(
                 state.xi0.mask[:, None],
                 _lookup_true(sel_ids_all[k_frame], sel_pts_all[k_frame], state.xi0.ids),
                 jnp.asarray([0.0, 0.0, 1.0], dtype=true_pts.dtype),
@@ -464,14 +500,16 @@ def run_simulation(
     augment_true_landmarks: bool = True,
     landmark_reset_every: int = 0,
     consistency: bool = False,
+    full_state: bool = False,
     **kwargs,
 ) -> SimRunResult:
     """Prepare inputs and run the full simulated VIO pipeline (convenience)."""
-    inputs = prepare_sim_inputs(settings, **kwargs)
+    inputs = prepare_sim_inputs(settings, full_state=full_state, **kwargs)
     return run_prepared(
         settings, inputs, augment_true_landmarks,
         landmark_reset_every=landmark_reset_every,
         consistency=consistency,
+        full_state=full_state,
     )
 
 

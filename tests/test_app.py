@@ -172,3 +172,27 @@ def test_camera_lag_shifts_image_stamps(synthetic_dataset):
         lagged.images.stamps, base.images.stamps - 0.025, atol=1e-12
     )
     np.testing.assert_allclose(lagged.imu.stamps, base.imu.stamps, atol=1e-12)
+
+
+def test_full_state_mode():
+    """--fullState: every world landmark stays in the state for the whole run
+    (reference eqvio_sim --fullState, main_sim.cpp:56-59,139)."""
+    import jax.numpy as jnp
+
+    from eqvio_tpu import filter as F
+    from eqvio_tpu.runner import ate_rmse, run_simulation
+
+    res = run_simulation(
+        F.Settings(measurement_noise=0.5),
+        full_state=True,
+        num_points=40,
+        max_features=12,
+        end_time=5.0,
+        dtype=jnp.float64,
+    )
+    counts = np.asarray(res.num_landmarks)
+    assert (counts == 40).all()  # capacity overridden to world size, all active
+    rmse, scale = ate_rmse(np.asarray(res.est_position), np.asarray(res.true_position))
+    assert rmse < 0.01
+    assert abs(scale - 1.0) < 0.01
+    assert not np.isnan(np.asarray(res.nees)).any()
