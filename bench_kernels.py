@@ -102,6 +102,14 @@ def main():
     )
     results["klt_mxu_ms"] = round(_time(klt, trk.positions, reps=20), 4)
 
+    if jax.default_backend() != "cpu":
+        klt_p = jax.jit(
+            lambda p: track_features(
+                pyr, pyr, p, jnp.ones(30, bool), win=21, mode="pallas"
+            )
+        )
+        results["klt_pallas_ms"] = round(_time(klt_p, trk.positions, reps=20), 4)
+
     print(json.dumps(results))
 
 

@@ -208,7 +208,7 @@ def track_features(
         mode = "pallas"
 
     if mode == "pallas":
-        from .pallas_klt import _COLS, _ROWS, klt_track_level_pallas
+        from .pallas_klt import klt_track_level_pallas
 
         scale0 = 2.0 ** (levels - 1)
         p = predicted / scale0
@@ -217,17 +217,10 @@ def track_features(
             s = 2.0**lvl
             if lvl < levels - 1:
                 p = p * 2.0
-            Hl, Wl = pyr_prev[lvl].shape
-            if Hl >= _ROWS and Wl >= _COLS:
-                p, errs = klt_track_level_pallas(
-                    pyr_prev[lvl], pyr_next[lvl], positions / s, p, win=win, iters=iters
-                )
-            else:
-                p, errs = jax.vmap(
-                    lambda pos_i, g_i: _track_level(
-                        pyr_prev[lvl], pyr_next[lvl], pos_i, g_i, win, iters, dtype
-                    )
-                )(positions / s, p)
+            # the kernel edge-pads each level to aligned sizes internally
+            p, errs = klt_track_level_pallas(
+                pyr_prev[lvl], pyr_next[lvl], positions / s, p, win=win, iters=iters
+            )
         new_pos, errs = p.astype(dtype), errs.astype(dtype)
     elif mode == "mxu":
         # interpolation-as-matmul: no gathers anywhere (TPU-friendly)

@@ -54,7 +54,9 @@ def _block_corner(x, y, W: int, H: int):
     y0 = jnp.floor(y).astype(jnp.int32) - 1
     xa = jnp.clip((x0 // 128) * 128, 0, W - _COLS)
     ya = jnp.clip((y0 // 8) * 8, 0, H - _ROWS)
-    return xa, ya
+    # W/H are multiples of 128/8 (enforced in klt_track_level_pallas), so the
+    # clip preserves alignment; the hint lets Mosaic emit aligned vector loads
+    return pl.multiple_of(xa, 128), pl.multiple_of(ya, 8)
 
 
 def _patch(block, xa, ya, x, y, win: int, dtype):
@@ -77,13 +79,19 @@ def _patch(block, xa, ya, x, y, win: int, dtype):
 def _klt_kernel(pos_ref, guess_ref, img_prev_ref, img_next_ref,
                 out_pos_ref, out_err_ref, *, win: int, iters: int,
                 H: int, W: int):
+    """``H, W`` are the PADDED image dims.  The wrapper edge-pads all four
+    sides (>= 8 rows / 128 cols) and shifts coordinates into the padded
+    frame, so patches that overhang the content sample replicated edge
+    values — the same semantics as the JAX path's per-sample coordinate
+    clamp in ``_bilinear``.  The clamps below only engage for runaway
+    estimates, which the caller's error/in-domain gates drop anyway."""
     i = pl.program_id(0)
     dtype = jnp.float32
     r = (win - 1) * 0.5
 
     px = pos_ref[i, 0]
     py = pos_ref[i, 1]
-    # template corner, clamped so the aligned block stays in the image
+    # template corner, clamped so the aligned block stays in the padded image
     tx = jnp.clip(px - r, 2.0, W - win - 3.0)
     ty = jnp.clip(py - r, 2.0, H - win - 3.0)
     xa, ya = _block_corner(tx, ty, W, H)
@@ -139,13 +147,31 @@ def klt_track_level_pallas(
 ):
     """Track all N features one pyramid level. Returns (positions [N,2], err [N]).
 
-    Requires image width >= 256 and height >= 32 (aligned-block loads).
+    Images are edge-padded on ALL FOUR sides (top 8 rows, left 128 cols, and
+    bottom/right up to sublane/lane alignment) and coordinates shifted into
+    the padded frame: aligned block loads always stay in bounds, and a patch
+    overhanging the content samples replicated edge values — matching the
+    JAX path's per-sample coordinate clamp exactly for any feature within
+    ~one window of the image.
     """
     N = positions.shape[0]
-    H, W = img_prev.shape
-    if H < _ROWS or W < _COLS:
-        raise ValueError(f"image {H}x{W} too small for the pallas kernel "
-                         f"(needs >= {_ROWS}x{_COLS}); use the JAX path")
+    Hc, Wc = img_prev.shape
+    top, left = 8, 128
+    bot = (-(Hc + top) % 8) + 8
+    rgt = (-(Wc + left) % 128) + 128
+    H, W = Hc + top + bot, Wc + left + rgt
+    if H < _ROWS:
+        bot += _ROWS - H
+        H = _ROWS
+    if W < _COLS:
+        rgt += _COLS - W
+        W = _COLS
+    pad = ((top, bot), (left, rgt))
+    img_prev = jnp.pad(img_prev, pad, mode="edge")
+    img_next = jnp.pad(img_next, pad, mode="edge")
+    off = jnp.asarray([left, top], jnp.float32)
+    positions = positions.astype(jnp.float32) + off
+    guesses = guesses.astype(jnp.float32) + off
     out_pos, out_err = pl.pallas_call(
         functools.partial(_klt_kernel, win=win, iters=iters, H=H, W=W),
         grid=(N,),
