@@ -103,12 +103,17 @@ def main():
     results["klt_mxu_ms"] = round(_time(klt, trk.positions, reps=20), 4)
 
     if jax.default_backend() != "cpu":
-        klt_p = jax.jit(
-            lambda p: track_features(
-                pyr, pyr, p, jnp.ones(30, bool), win=21, mode="pallas"
+        # Pallas compiled-mode may be unavailable (remote-compile tunnels lack
+        # the TPU env; see CLAUDE.md) — never let it kill the JSON line.
+        try:
+            klt_p = jax.jit(
+                lambda p: track_features(
+                    pyr, pyr, p, jnp.ones(30, bool), win=21, mode="pallas"
+                )
             )
-        )
-        results["klt_pallas_ms"] = round(_time(klt_p, trk.positions, reps=20), 4)
+            results["klt_pallas_ms"] = round(_time(klt_p, trk.positions, reps=20), 4)
+        except Exception as e:  # noqa: BLE001
+            results["klt_pallas_error"] = type(e).__name__
 
     print(json.dumps(results))
 

@@ -54,7 +54,6 @@ def e3_project_sphere_inv(y: jnp.ndarray) -> jnp.ndarray:
     y_sq = jnp.sum(y * y, axis=-1)
     factor = 2.0 / (y_sq + 1.0)
     eta_xy = factor[..., None] * y
-    eta_z = 1.0 - 2.0 * factor  # e3 + factor*(-e3) on the z component... see below
     # eta = e3 + factor * (ybar - e3): z component = 1 - factor
     eta_z = 1.0 - factor
     return jnp.concatenate([eta_xy, eta_z[..., None]], axis=-1)

@@ -117,11 +117,13 @@ def state_to_csv_line(state: F.EqFState) -> str:
     )
 
 
-def state_from_csv_line(line: str, capacity: int, dtype=None) -> F.EqFState:
+def state_from_csv_line(line: str, capacity: int, dtype=None, t: float = 0.0) -> F.EqFState:
     """Parse a :func:`state_to_csv_line` line back into an ``EqFState``.
 
     Landmarks land in slots ``0..N-1`` of a ``capacity``-slot state; the
-    masked remainder of Sigma carries identity rows (harmless — inactive)."""
+    masked remainder of Sigma carries identity rows (harmless — inactive).
+    ``t``: the filter time to stamp the state with — the reference stores it
+    in a separate CSV column, not inside the ``[xi0, X, Sigma]`` blob."""
     from .analysis import quat_to_rot
 
     tok = [t.strip() for t in line.split(",")]
@@ -157,6 +159,8 @@ def state_from_csv_line(line: str, capacity: int, dtype=None) -> F.EqFState:
     w = take(3)
     RB, xB = se3()
     n2 = int(take(1)[0])
+    if n2 != n:
+        raise ValueError(f"malformed state line: X has {n2} landmarks, xi0 has {n}")
     Qa = np.ones(capacity)
     QR = np.tile(np.eye(3), (capacity, 1, 1))
     for i in range(n2):
@@ -174,7 +178,7 @@ def state_from_csv_line(line: str, capacity: int, dtype=None) -> F.EqFState:
     xi0 = VIOState(sensor, a(lms), jnp.asarray(ids), jnp.asarray(mask))
     X = VIOGroup(beta=a(beta), A=SE3(a(RA), a(xA)), w=a(w), B=SE3(a(RB), a(xB)),
                  Q=SOT3(a(QR), a(Qa)))
-    return F.EqFState(xi0=xi0, X=X, Sigma=a(Sigma), t=a(0.0))
+    return F.EqFState(xi0=xi0, X=X, Sigma=a(Sigma), t=a(t))
 
 
 def save_checkpoint(

@@ -771,17 +771,8 @@ def compute_nees_breakdown(
 ):
     """(total, pose, attitude) NEES against the marginal Sigma blocks
     (reference ``VIOWriter::writeConsistency``, VIOWriter.cpp:159-170)."""
-    if suite is None:
-        suite = (settings or Settings()).suite
-    err_state = state_action(group_inv(state.X), true_state)
-    eps = suite.chart.chart(err_state, state.xi0) * _mask_vec(state.xi0)
-    total = jnp.sum(eps * jnp.linalg.solve(state.Sigma, eps))
-    dim = SENSOR_DIM + 3 * jnp.sum(state.xi0.mask)
-    pose_eps = eps[6:12]
-    pose = pose_eps @ jnp.linalg.solve(state.Sigma[6:12, 6:12], pose_eps) / 6.0
-    att_eps = eps[6:9]
-    att = att_eps @ jnp.linalg.solve(state.Sigma[6:9, 6:9], att_eps) / 3.0
-    return total / dim, pose, att
+    total, pose, att, *_ = consistency_outputs(state, true_state, suite, settings)
+    return total, pose, att
 
 
 def predict_state(

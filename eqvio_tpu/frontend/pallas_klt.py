@@ -196,4 +196,4 @@ def klt_track_level_pallas(
         img_prev.astype(jnp.float32),
         img_next.astype(jnp.float32),
     )
-    return out_pos, out_err[:, 0]
+    return out_pos - off, out_err[:, 0]

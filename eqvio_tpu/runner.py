@@ -289,6 +289,17 @@ def build_sim_runner(
             pixels = jnp.where(vis[:, None], camera.project(true_pts), 0.0)
             if pixel_noise is not None:
                 pixels = pixels + pixel_noise[k_frame] * vis[:, None]
+            if landmark_reset_every > 0:
+                # reference --landmarkReset applies in fullState mode too
+                # (main_sim.cpp:177-183 -> VIOFilter::setLandmarks): snap every
+                # landmark back to truth and reset its covariance block
+                reset = (k_frame % landmark_reset_every) == 0
+                reset_state = F.set_landmarks(
+                    state, true_pts, state.xi0.ids, state.xi0.mask, settings
+                )
+                state = jax.tree.map(
+                    lambda a, b: jnp.where(reset, a, b), reset_state, state
+                )
             state = F.update_vision(state, pixels, vis, camera, settings, suite)
             true_slots_lms = true_pts
         else:

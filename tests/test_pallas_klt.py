@@ -1,5 +1,6 @@
 """Pallas KLT kernel vs the pure-JAX reference implementation (interpret mode)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -32,3 +33,24 @@ def test_pallas_klt_matches_reference():
     track_err = np.linalg.norm(np.asarray(out_pos) - (pts + shift), axis=-1)
     assert track_err.max() < 0.3, track_err
     assert np.all(np.asarray(err) < 0.05)
+
+
+def test_pallas_klt_matches_gather_path():
+    """Regression for the round-1 padded-frame bug: the pallas kernel must
+    agree with the pure-JAX gather path to sub-0.1 px on a shifted-dot image
+    (any pad-offset leak shows up as an exact (128, 8) discrepancy)."""
+    rng = np.random.default_rng(7)
+    pts = rng.uniform([25, 25], [W - 25, H - 25], size=(8, 2)).astype(np.float32)
+    shift = np.array([-1.4, 2.1], dtype=np.float32)
+    img0 = render(pts)
+    img1 = render(pts + shift)
+
+    pos = jnp.asarray(pts)
+    pal_pos, pal_err = klt_track_level_pallas(
+        img0, img1, pos, pos, win=15, iters=8, interpret=True
+    )
+    ref_pos, ref_err = jax.vmap(
+        lambda p, g: _track_level(img0, img1, p, g, 15, 8, jnp.float32)
+    )(pos, pos)
+    d = np.linalg.norm(np.asarray(pal_pos) - np.asarray(ref_pos), axis=-1)
+    assert d.max() < 0.1, d
