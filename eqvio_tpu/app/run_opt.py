@@ -34,6 +34,42 @@ from ..states import IMU
 TIMING_LABELS = ["features", "propagation", "preprocessing", "correction", "total vision update", "write output", "total"]
 
 
+def _build_imu_window(imu_buf, t_prev, stamp, imu_window):
+    """Assemble the zero-dt-padded IMU window covering [t_prev, stamp].
+
+    Mirrors the reference's buffered-IMU integration semantics
+    (``VIOFilter::integrateUpToTime``, VIOFilter.cpp:134-192): each buffered
+    entry contributes its overlap with the window; zero-dt pad entries are
+    exact no-ops in every propagation path (design invariant).
+
+    Returns ``((stamps, gyr, acc, dts) numpy arrays, trimmed imu_buf)``.
+    """
+    kept = []
+    for j, (ts, gyr, acc) in enumerate(imu_buf):
+        t1 = imu_buf[j + 1][0] if j + 1 < len(imu_buf) else stamp
+        dt = max(min(t1, stamp) - max(ts, t_prev), 0.0)
+        if dt > 0 or not kept:
+            kept.append((ts, gyr, acc, dt))
+    kept = kept[-imu_window:]
+    K = imu_window
+    arr_stamp = np.full(K, kept[-1][0] if kept else stamp)
+    arr_gyr = np.zeros((K, 3))
+    arr_acc = np.zeros((K, 3))
+    arr_dt = np.zeros(K)
+    for j, (ts, gyr, acc, dt) in enumerate(kept):
+        arr_stamp[j] = ts
+        arr_gyr[j] = gyr
+        arr_acc[j] = acc
+        arr_dt[j] = dt
+    for j in range(len(kept), K):
+        if kept:
+            arr_gyr[j] = kept[-1][1]
+            arr_acc[j] = kept[-1][2]
+    arr_stamp[len(kept):] = stamp
+    trimmed = [e for e in imu_buf if e[0] >= stamp - 0.05]
+    return (arr_stamp, arr_gyr, arr_acc, arr_dt), trimmed
+
+
 def camera_from_info(info, dtype=jnp.float64):
     fx, fy, cx, cy = info.intrinsics
     w, h = info.resolution
@@ -44,6 +80,81 @@ def camera_from_info(info, dtype=jnp.float64):
     if info.model == "equidistant":
         return EquidistantCamera.create(fx, fy, cx, cy, info.distortion, w, h, dtype=dtype)
     return PinholeCamera.create(fx, fy, cx, cy, w, h, dtype=dtype)
+
+
+def _make_chunk_runner(tcfg, settings, suite, camera, imu_window, dtype):
+    """One jitted program: scan (tracker -> propagate -> vision update) over a
+    fixed-size chunk of frames.  The TPU-native answer to the reference's
+    per-frame loop (``main_opt.cpp:178-245``): decode->track->filter are fused
+    into a single device program, host transfers amortised chunk-size times.
+
+    Padded tail frames carry ``valid=False`` and pass the carry through
+    unchanged, so every chunk has one static shape -> exactly one compile.
+    """
+    from ..frontend.tracker import tracker_step as _tracker_step
+
+    K = imu_window
+
+    def frame_fn(carry, inp):
+        state, tracker = carry
+        img, stamps_w, gyr_w, acc_w, dts, stamp, valid = inp
+        imu_win = IMU(
+            stamp=stamps_w,
+            gyr=gyr_w,
+            acc=acc_w,
+            gyr_bias_vel=jnp.zeros((K, 3), dtype=dtype),
+            acc_bias_vel=jnp.zeros((K, 3), dtype=dtype),
+        )
+        if settings.use_feature_predictions:
+            # feature predictions stay ON DEVICE: forward-predict the state
+            # over the frame's IMU window and project (reference
+            # getFeaturePredictions, VIOFilter.cpp:247-252)
+            xi_pred = F.predict_state(state, stamp, imu_win, dts)
+            pred_px = camera.project(xi_pred.landmarks).astype(jnp.float32)
+            predicted = jnp.where(
+                xi_pred.mask[:, None], pred_px, tracker.positions
+            )
+            new_tracker = _tracker_step(tracker, img, tcfg, predicted=predicted)
+        else:
+            new_tracker = _tracker_step(tracker, img, tcfg)
+        pixels = new_tracker.positions.astype(dtype)
+        vis = new_tracker.mask
+        ids = new_tracker.ids
+        new_state = F.propagate_window(state, imu_win, dts, settings, suite)
+        new_state = F.process_vision(
+            new_state, pixels, vis, ids, camera, settings, suite
+        )
+        new_state = new_state._replace(t=stamp)
+        state = jax.tree.map(lambda a, b: jnp.where(valid, a, b), new_state, state)
+        tracker = jax.tree.map(
+            lambda a, b: jnp.where(valid, a, b), new_tracker, tracker
+        )
+        est = F.state_estimate(state)
+        out = (
+            est.sensor.pose.R,
+            est.sensor.pose.x,
+            est.sensor.velocity,
+            est.sensor.camera_offset.R,
+            est.sensor.camera_offset.x,
+            est.sensor.bias,
+            est.landmarks,
+            est.ids,
+            est.mask,
+            pixels,
+            ids,
+            vis,
+        )
+        return (state, tracker), out
+
+    @jax.jit
+    def run_chunk(state, tracker, imgs, stamps_w, gyr_w, acc_w, dts, stamps, valid):
+        return jax.lax.scan(
+            frame_fn,
+            (state, tracker),
+            (imgs, stamps_w, gyr_w, acc_w, dts, stamps, valid),
+        )
+
+    return run_chunk
 
 
 def run_dataset(
@@ -63,6 +174,7 @@ def run_dataset(
     limit_rate: float | None = None,
     profile_dir: str | None = None,
     camera_lag: float | None = None,
+    chunk_size: int = 16,
 ):
     """Run the full real-data pipeline; returns (writer, summary dict).
 
@@ -141,6 +253,13 @@ def run_dataset(
     writer = VIOWriter(output_dir) if output_dir else None
     loop_timer = LoopTimer(TIMING_LABELS)
 
+    if chunk_size > 1 and not simvis:
+        return _run_fused(
+            server, state, tracker, tcfg, settings, suite, camera, writer,
+            timing, imu_window, dtype, chunk_size, limit_frames, limit_rate,
+            profile_dir, simimu, sim,
+        )
+
     imu_buf: list[tuple[float, np.ndarray, np.ndarray]] = []
     initialised = False
     n_frames = 0
@@ -191,13 +310,12 @@ def run_dataset(
             sim_tracker = slot_tracker_step_compact(sim_tracker, sel_ids)
             pixels, vis, ids, _ = gather_slots_compact(sel_ids, sel_pts, sim_tracker, camera)
         elif settings.use_feature_predictions:
-            # predict feature pixels from the forward-propagated state
+            # predict feature pixels from the current state, all on device
             # (reference getFeaturePredictions, VIOFilter.cpp:247-252)
             est = F.state_estimate(state)
-            pred_px = np.asarray(camera.project(est.landmarks), dtype=np.float32)
             predicted = jnp.where(
-                jnp.asarray(np.asarray(est.mask))[:, None],
-                jnp.asarray(pred_px),
+                est.mask[:, None],
+                camera.project(est.landmarks).astype(jnp.float32),
                 tracker.positions,
             )
             tracker = jit_tracker_pred(tracker, img, predicted)
@@ -212,28 +330,10 @@ def run_dataset(
         # build the padded IMU window for [prev_t, stamp]
         loop_timer.start_timing("propagation")
         t_prev = t_prev_host if t_prev_host >= 0 else float(state.t)
-        kept = []
-        for j, (ts, gyr, acc) in enumerate(imu_buf):
-            t1 = imu_buf[j + 1][0] if j + 1 < len(imu_buf) else meas.stamp
-            dt = max(min(t1, meas.stamp) - max(ts, t_prev), 0.0)
-            if dt > 0 or not kept:
-                kept.append((ts, gyr, acc, dt))
-        kept = kept[-imu_window:]
+        (arr_stamp, arr_gyr, arr_acc, arr_dt), imu_buf = _build_imu_window(
+            imu_buf, t_prev, meas.stamp, imu_window
+        )
         K = imu_window
-        arr_stamp = np.full(K, kept[-1][0] if kept else meas.stamp)
-        arr_gyr = np.zeros((K, 3))
-        arr_acc = np.zeros((K, 3))
-        arr_dt = np.zeros(K)
-        for j, (ts, gyr, acc, dt) in enumerate(kept):
-            arr_stamp[j] = ts
-            arr_gyr[j] = gyr
-            arr_acc[j] = acc
-            arr_dt[j] = dt
-        for j in range(len(kept), K):
-            if kept:
-                arr_gyr[j] = kept[-1][1]
-                arr_acc[j] = kept[-1][2]
-        arr_stamp[len(kept):] = meas.stamp
         imu_win = IMU(
             stamp=jnp.asarray(arr_stamp, dtype=dtype),
             gyr=jnp.asarray(arr_gyr, dtype=dtype),
@@ -241,8 +341,6 @@ def run_dataset(
             gyr_bias_vel=jnp.zeros((K, 3), dtype=dtype),
             acc_bias_vel=jnp.zeros((K, 3), dtype=dtype),
         )
-        # trim consumed buffer entries (VIOFilter.cpp:182-189)
-        imu_buf = [e for e in imu_buf if e[0] >= meas.stamp - 0.05]
         loop_timer.end_timing("propagation")
 
         loop_timer.start_timing("total vision update")
@@ -301,6 +399,152 @@ def run_dataset(
     return state, summary
 
 
+def _run_fused(
+    server, state, tracker, tcfg, settings, suite, camera, writer,
+    timing, imu_window, dtype, chunk_size, limit_frames, limit_rate,
+    profile_dir, simimu, sim,
+):
+    """Chunked device loop: K frames per dispatch, outputs pulled once per
+    chunk (replaces the reference's per-frame loop with a fused scan)."""
+    run_chunk = _make_chunk_runner(tcfg, settings, suite, camera, imu_window, dtype)
+    C = chunk_size
+
+    imu_buf: list[tuple[float, np.ndarray, np.ndarray]] = []
+    initialised = False
+    t_prev_host = -1.0
+    n_frames = 0
+    pend: list[tuple] = []  # (stamp, img, w_stamp, w_gyr, w_acc, w_dt, asm_time)
+    t_begin = time.perf_counter()
+    rate_mark = time.perf_counter()
+
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
+    def flush():
+        nonlocal state, tracker, n_frames, rate_mark
+        if not pend:
+            return
+        n = len(pend)
+        t_host0 = time.perf_counter()
+        img0 = pend[0][1]
+        imgs = np.zeros((C,) + img0.shape, dtype=np.float32)
+        stamps_w = np.zeros((C, imu_window))
+        gyr_w = np.zeros((C, imu_window, 3))
+        acc_w = np.zeros((C, imu_window, 3))
+        dts = np.zeros((C, imu_window))
+        stamps = np.zeros(C)
+        valid = np.zeros(C, dtype=bool)
+        asm_total = 0.0
+        for i, (st, im, ws, wg, wa, wd, asm) in enumerate(pend):
+            imgs[i] = im
+            stamps_w[i] = ws
+            gyr_w[i] = wg
+            acc_w[i] = wa
+            dts[i] = wd
+            stamps[i] = st
+            valid[i] = True
+            asm_total += asm
+        t_dev0 = time.perf_counter()
+        (state, tracker), outs = run_chunk(
+            state,
+            tracker,
+            jnp.asarray(imgs),
+            jnp.asarray(stamps_w, dtype=dtype),
+            jnp.asarray(gyr_w, dtype=dtype),
+            jnp.asarray(acc_w, dtype=dtype),
+            jnp.asarray(dts, dtype=dtype),
+            jnp.asarray(stamps, dtype=dtype),
+            jnp.asarray(valid),
+        )
+        if writer is not None:
+            outs = jax.device_get(outs)
+        else:
+            jax.block_until_ready(state.Sigma)
+        t_dev = time.perf_counter() - t_dev0
+        t_wr0 = time.perf_counter()
+        if writer is not None:
+            (pR, px, vel, cR, cx, bias, lms, lids, lmask, fpx, fids, fvis) = outs
+            for i in range(n):
+                writer.write_states(
+                    stamps[i], pR[i], px[i], vel[i], cR[i], cx[i], bias[i],
+                    landmarks=lms[i], landmark_ids=lids[i], landmark_mask=lmask[i],
+                )
+                writer.write_features(stamps[i], fpx[i], fids[i], fvis[i])
+        t_wr = time.perf_counter() - t_wr0
+        if writer is not None and timing:
+            # chunk sections averaged per frame ("features" is inside the
+            # fused device program -> reported under "total vision update")
+            for i in range(n):
+                row = {lab: 0.0 for lab in TIMING_LABELS}
+                row["propagation"] = asm_total / n
+                row["total vision update"] = t_dev / n
+                row["write output"] = t_wr / n
+                row["total"] = (time.perf_counter() - t_host0) / n
+                writer.write_timing(t_host0, row)
+        n_frames += n
+        pend.clear()
+        if limit_rate and limit_rate > 0:
+            sleep_for = rate_mark + n / limit_rate - time.perf_counter()
+            if sleep_for > 0:
+                time.sleep(sleep_for)
+            rate_mark = time.perf_counter()
+
+    for meas in server:
+        if meas.kind == "imu":
+            gyr, acc = meas.data
+            if simimu:
+                sim_imu = sim.get_imu(jnp.asarray(meas.stamp, dtype=dtype))
+                gyr = np.asarray(sim_imu.gyr)
+                acc = np.asarray(sim_imu.acc)
+            if not initialised:
+                state = F.initialize_attitude_from_imu(
+                    state,
+                    IMU.create(
+                        jnp.asarray(meas.stamp, dtype=dtype),
+                        jnp.asarray(gyr, dtype=dtype),
+                        jnp.asarray(acc, dtype=dtype),
+                    ),
+                )
+                initialised = True
+                t_prev_host = meas.stamp
+            imu_buf.append((meas.stamp, gyr, acc))
+            continue
+        if not initialised:
+            continue
+        t_asm0 = time.perf_counter()
+        (ws, wg, wa, wd), imu_buf = _build_imu_window(
+            imu_buf, t_prev_host, meas.stamp, imu_window
+        )
+        t_prev_host = meas.stamp
+        pend.append(
+            (
+                meas.stamp,
+                np.asarray(meas.data, dtype=np.float32),
+                ws, wg, wa, wd,
+                time.perf_counter() - t_asm0,
+            )
+        )
+        if len(pend) == C:
+            flush()
+        if limit_frames and n_frames + len(pend) >= limit_frames:
+            break
+    flush()
+
+    elapsed = time.perf_counter() - t_begin
+    if profile_dir:
+        jax.profiler.stop_trace()
+    if writer is not None:
+        writer.flush()
+    est = F.state_estimate(state)
+    summary = {
+        "frames": n_frames,
+        "fps": n_frames / max(elapsed, 1e-9),
+        "final_position": np.asarray(est.sensor.pose.x).tolist(),
+        "landmarks": int(np.asarray(est.mask).sum()),
+    }
+    return state, summary
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="TPU-native EqVIO on a real dataset")
     ap.add_argument("dataset")
@@ -319,6 +563,8 @@ def main(argv=None):
                     help="maximum image processing rate in Hz (0 = unlimited)")
     ap.add_argument("--profile", default=None,
                     help="write an XLA profiler trace to this directory")
+    ap.add_argument("--chunk", type=int, default=16,
+                    help="frames per fused device dispatch (1 = per-frame loop)")
     ap.add_argument("--display", action="store_true", help="accepted for parity; no GUI")
     args = ap.parse_args(argv)
 
@@ -347,6 +593,7 @@ def main(argv=None):
         limit_rate=args.limit_rate,
         profile_dir=args.profile,
         dtype=dtype,
+        chunk_size=args.chunk,
     )
     print(f"Processed {summary['frames']} frames at {summary['fps']:.1f} fps; "
           f"{summary['landmarks']} landmarks live.")

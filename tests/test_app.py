@@ -87,6 +87,27 @@ def test_run_opt_end_to_end(synthetic_dataset, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "features.csv"))
 
 
+def test_run_opt_fused_matches_per_frame(synthetic_dataset, tmp_path):
+    """The chunked fused device loop must produce the SAME trajectory as the
+    per-frame loop (chunking only amortises host transfers; zero-dt padded
+    tail frames are exact no-ops)."""
+    path, _ = synthetic_dataset
+    from eqvio_tpu.app.run_opt import run_dataset
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..", "configs", "config_template.yaml"))
+    cfg["GIFT"]["maxFeatures"] = 12
+    cfg["GIFT"]["winSize"] = 15
+
+    out_f = str(tmp_path / "fused")
+    out_l = str(tmp_path / "legacy")
+    run_dataset(path, cfg, output_dir=out_f, chunk_size=8, limit_frames=20)
+    run_dataset(path, cfg, output_dir=out_l, chunk_size=1, limit_frames=20)
+    a = np.genfromtxt(os.path.join(out_f, "IMUState.csv"), delimiter=",", skip_header=1)
+    b = np.genfromtxt(os.path.join(out_l, "IMUState.csv"), delimiter=",", skip_header=1)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-9)
+
+
 def test_run_opt_simvis(synthetic_dataset, tmp_path):
     """--simvis path: real IMU + simulated vision around ground truth."""
     path, sim = synthetic_dataset
