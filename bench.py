@@ -1,25 +1,25 @@
-"""Benchmark: full simulated VIO pipeline throughput on one chip.
+"""Benchmark: single-sequence FULL-FRAME throughput (tracker + filter) on one chip.
 
 Prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``
+``{"metric", "value", "unit", "vs_baseline", "baseline_assumed", "secondary"}``
 
-Measured quantity: frames/s of the complete jitted pipeline scan (IMU
-propagation windows at 200 Hz, slot tracking, landmark lifecycle, EqF update
-at 20 Hz, capacity 32 / 30 features), device compute only (host-side dataset
-prep is one-time and overlappable).  The driver runs this on one real TPU
-chip.
+Headline metric: frames/s of the real-data pipeline on a hermetic EuRoC-scale
+sequence (752x480 frames, 200 Hz IMU, 20 Hz vision, 30 features) — dataset
+reader + prefetch decode + fused KLT-tracker+EqF device chunks + CSV writer,
+i.e. the same workload the reference times per frame (``main_opt.cpp:120-121``:
+"features" + "total vision update" + "write output").
 
-Reported value = max(single-sequence fps, aggregate fps of BENCH_BATCH
-concurrent filter instances vmapped in one program).  The aggregate is the
-honest per-chip throughput for the multi-sequence use case: the reference
-processes sequences serially (run_and_analyse_dataset.py:46-49), while one
-chip runs many filters at once.  Set BENCH_BATCH=1 for strict single-sequence
-latency.
+Secondary fields:
+- ``filter_only_fps``: the jitted sim pipeline (vision precomputed) — the
+  reference's filter-side cost, no tracker.
+- ``sim_batch_aggregate_fps``: BENCH_BATCH concurrent filter instances vmapped
+  in one program (the reference runs sequences serially,
+  run_and_analyse_dataset.py:46-49); per-chip multi-sequence throughput.
 
-Baseline: the reference EqVIO commits no timing numbers (BASELINE.md); its
-per-frame filter time on the author's CPU corresponds to roughly 500 frames/s
-on EuRoC-scale configs (GIFT tracking excluded).  ``vs_baseline`` is measured
-fps / 500; the BASELINE.json target is >= 5x (vs_baseline >= 5).
+Baseline: the reference commits NO timing numbers (BASELINE.md); FPS is
+produced per run by ``analysis_tools.py:374`` on the author's unspecified CPU.
+``REFERENCE_FPS = 500`` is an ASSUMPTION (flagged via ``baseline_assumed``)
+of the reference's filter-only rate; treat ``vs_baseline`` accordingly.
 """
 
 import json
@@ -28,7 +28,63 @@ import time
 
 import numpy as np
 
-REFERENCE_FPS = 500.0
+REFERENCE_FPS = 500.0  # assumed; the reference commits no timing numbers
+BENCH_DATASET = "/tmp/eqvio_bench_asl"
+BENCH_SECONDS = 30.0
+
+
+def _ensure_dataset():
+    """Generate (once) a hermetic EuRoC-scale ASL tree for the bench."""
+    marker = os.path.join(BENCH_DATASET, ".complete_v2")
+    if os.path.exists(marker):
+        return
+    import shutil
+
+    shutil.rmtree(BENCH_DATASET, ignore_errors=True)
+    from eqvio_tpu.data import generate_asl_dataset
+
+    generate_asl_dataset(
+        BENCH_DATASET,
+        end_time=BENCH_SECONDS,
+        imu_freq=200.0,
+        frame_freq=20.0,
+        width=752,
+        height=480,
+        num_points=600,
+        seed=4,
+    )
+    with open(marker, "w") as f:
+        f.write("ok\n")
+
+
+def bench_full_frame(dtype):
+    """Single-sequence full-frame fps: reader -> prefetch -> fused
+    tracker+filter chunks -> writer, exactly the ``run_opt`` product path."""
+    import tempfile
+
+    from eqvio_tpu.app.run_opt import run_dataset
+    from eqvio_tpu.io import load_config
+
+    _ensure_dataset()
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "configs", "config_template.yaml"))
+    cfg["GIFT"]["maxFeatures"] = 30
+    cfg["GIFT"]["winSize"] = 21
+
+    def once():
+        with tempfile.TemporaryDirectory() as out:
+            t0 = time.perf_counter()
+            _, summary = run_dataset(
+                BENCH_DATASET, cfg, output_dir=out, dtype=dtype, chunk_size=16
+            )
+            return summary["frames"], time.perf_counter() - t0
+
+    once()  # warm-up / compile
+    best = float("inf")
+    frames = 0
+    for _ in range(3):
+        frames, dt = once()
+        best = min(best, dt)
+    return frames / best
 
 
 def main():
@@ -37,58 +93,64 @@ def main():
 
     # TPU f32 matmuls default to bf16 accumulation — fatal for filter math
     jax.config.update("jax_default_matmul_precision", "float32")
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    except Exception:
+        pass
 
     from eqvio_tpu import filter as F
     from eqvio_tpu.runner import build_sim_runner, prepare_sim_inputs
 
+    dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float32
+
+    # ---- headline: tracker-inclusive single-sequence full-frame rate ----
+    full_frame_fps = bench_full_frame(dtype)
+
+    secondary = {}
+
+    # ---- secondary: filter-only + batch aggregate on the sim pipeline ----
     # algorithm switches matching the reference's shipped EuRoC config
     # (configs/EQVIO_config_EuRoC_stationary.yaml: InvDepth + fastRiccati +
     # continuous innovation lift)
-    settings = F.Settings(
-        measurement_noise=0.5,
-        coordinate_choice="invdepth",
-        fast_riccati=True,
-        use_discrete_innovation_lift=False,
-        use_median_depth=False,
-        initial_scene_depth=2.5,
-    )
-    inputs = prepare_sim_inputs(
-        settings,
-        capacity=32,
-        max_features=30,
-        end_time=30.0,
-        imu_freq=200.0,
-        frame_freq=20.0,
-        num_walls=4,
-        dtype=jnp.float32,
-    )
-    # NEES is an eqvio_sim-only diagnostic; the throughput-comparable reference
-    # path (eqvio_opt) does not compute it per frame
-    run = build_sim_runner(settings, inputs, augment_true_landmarks=False, compute_nees=False)
-
-    # warm-up / compile
-    res = run()
-    jax.block_until_ready(res.est_position)
-    n_frames = int(res.times.shape[0])
-
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
+    try:
+        settings = F.Settings(
+            measurement_noise=0.5,
+            coordinate_choice="invdepth",
+            fast_riccati=True,
+            use_discrete_innovation_lift=False,
+            use_median_depth=False,
+            initial_scene_depth=2.5,
+        )
+        inputs = prepare_sim_inputs(
+            settings,
+            capacity=32,
+            max_features=30,
+            end_time=30.0,
+            imu_freq=200.0,
+            frame_freq=20.0,
+            num_walls=4,
+            dtype=jnp.float32,
+        )
+        run = build_sim_runner(
+            settings, inputs, augment_true_landmarks=False, compute_nees=False
+        )
         res = run()
         jax.block_until_ready(res.est_position)
-        best = min(best, time.perf_counter() - t0)
+        n_frames = int(res.times.shape[0])
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            res = run()
+            jax.block_until_ready(res.est_position)
+            best = min(best, time.perf_counter() - t0)
+        secondary["filter_only_fps"] = round(n_frames / best, 1)
+        assert not np.any(np.isnan(np.asarray(res.est_position)))
 
-    fps = n_frames / best
-
-    # batch-of-sequences aggregate throughput (the reference runs sequences
-    # serially; one chip can run many filter instances in one program).
-    # Guarded: whatever happens here, the single-sequence line still prints.
-    B = int(os.environ.get("BENCH_BATCH", "128"))
-    if B > 1:
-        try:
+        B = int(os.environ.get("BENCH_BATCH", "128"))
+        if B > 1:
             run_b = build_sim_runner(
-                settings, inputs, augment_true_landmarks=False, compute_nees=False,
-                batch=B,
+                settings, inputs, augment_true_landmarks=False,
+                compute_nees=False, batch=B,
             )
             res_b = run_b()
             jax.block_until_ready(res_b.est_position)
@@ -98,18 +160,18 @@ def main():
                 res_b = run_b()
                 jax.block_until_ready(res_b.est_position)
                 best_b = min(best_b, time.perf_counter() - t0)
-            fps_b = B * n_frames / best_b
-            fps = max(fps, fps_b)
-        except Exception:
-            pass
+            secondary["sim_batch_aggregate_fps"] = round(B * n_frames / best_b, 1)
+    except Exception as e:  # noqa: BLE001 — the headline line must still print
+        secondary["error"] = type(e).__name__
+
     out = {
-        "metric": "sim_pipeline_frames_per_s_per_chip",
-        "value": round(fps, 1),
+        "metric": "full_frame_fps_single_seq",
+        "value": round(full_frame_fps, 1),
         "unit": "frames/s",
-        "vs_baseline": round(fps / REFERENCE_FPS, 2),
+        "vs_baseline": round(full_frame_fps / REFERENCE_FPS, 2),
+        "baseline_assumed": True,
+        "secondary": secondary,
     }
-    est = np.asarray(res.est_position)
-    assert not np.any(np.isnan(est)), "NaN in benchmark run"
     print(json.dumps(out))
 
 
