@@ -305,27 +305,114 @@ def lift_innovation_discrete_invdepth(Gamma: jnp.ndarray, xi0: VIOState) -> VIOG
 # ---------------------------------------------------------------------------
 
 
+def normal_euclid_sensor_differential(xi0: VIOState) -> jnp.ndarray:
+    """Sensor block [21, 21] of d(normal o euclid^{-1}) at 0, by forward AD.
+
+    The chart transition is exactly block diagonal — the normal sensor chart
+    touches only sensor components and the landmark charts act slot-wise — so
+    only this block needs AD; the landmark blocks are analytic
+    (:func:`normal_euclid_point_blocks`).  The reference instead differences
+    the full dense map (``VIOState.cpp:391-401``) and inverts it dense
+    (``normal.cpp:37-55``) — an O(D^3) tax this layout avoids.
+    """
+    from .charts import sensor_chart_normal, sensor_chart_std_inv
+
+    s0 = xi0.sensor
+
+    def f(eps_s):
+        return sensor_chart_normal(sensor_chart_std_inv(eps_s, s0), s0)
+
+    return jax.jacfwd(f)(jnp.zeros(SENSOR_DIM, dtype=xi0.landmarks.dtype))
+
+
+def normal_euclid_point_blocks(p0: jnp.ndarray) -> jnp.ndarray:
+    """Per-landmark blocks [N, 3, 3] of d(normal o euclid^{-1}) at 0, analytic.
+
+    Rows 0:2: sphere-normal chart differential of the bearing,
+    d y/d p = (I - y0 y0^T)/r0; row 2: d log(rho)/d p = -y0^T/r0.
+    """
+    r0 = jnp.clip(jnp.linalg.norm(p0, axis=-1), 1e-12, None)
+    y0 = p0 / r0[..., None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=p0.dtype), p0.shape + (3,))
+    P = (eye - jnp.einsum("...i,...j->...ij", y0, y0)) / r0[..., None, None]
+    top = sphere_chart_normal.chart_diff0(y0) @ P  # [N, 2, 3]
+    bot = -(y0 / r0[..., None])[..., None, :]  # [N, 1, 3]
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def euclid_normal_sensor_differential(xi0: VIOState) -> jnp.ndarray:
+    """Sensor block [21, 21] of the INVERSE transition d(euclid o normal^{-1})
+    at 0 — the exact inverse of :func:`normal_euclid_sensor_differential`
+    (mutually inverse diffeomorphisms have inverse Jacobians at 0)."""
+    from .charts import sensor_chart_normal_inv, sensor_chart_std
+
+    s0 = xi0.sensor
+
+    def f(eps_s):
+        return sensor_chart_std(sensor_chart_normal_inv(eps_s, s0), s0)
+
+    return jax.jacfwd(f)(jnp.zeros(SENSOR_DIM, dtype=xi0.landmarks.dtype))
+
+
+def euclid_normal_point_blocks(p0: jnp.ndarray) -> jnp.ndarray:
+    """Per-landmark inverse blocks [N, 3, 3], analytic: p = y/rho with
+    y = chart_inv(eps_b, y0), rho = rho0 exp(eps_z), so at 0
+    dp = r0 * chart_inv_diff0(y0) d(eps_b) - p0 d(eps_z)."""
+    r0 = jnp.clip(jnp.linalg.norm(p0, axis=-1), 1e-12, None)
+    y0 = p0 / r0[..., None]
+    left = r0[..., None, None] * sphere_chart_normal.chart_inv_diff0(y0)  # [N,3,2]
+    return jnp.concatenate([left, -p0[..., None]], axis=-1)
+
+
 def normal_euclid_differential(xi0: VIOState) -> jnp.ndarray:
-    """d(normal o euclid^{-1}) at 0: [D, D], via forward-mode AD."""
-    euclid = STATE_CHARTS["euclid"]
-    normal = STATE_CHARTS["normal"]
-
-    def transition(eps):
-        return normal.chart(euclid.chart_inv(eps, xi0), xi0)
-
+    """d(normal o euclid^{-1}) at 0: dense [D, D], assembled from blocks
+    (kept for tests and external callers; the suite itself works block-wise)."""
+    N = xi0.capacity
     D = xi0.dim()
-    return jax.jacfwd(transition)(jnp.zeros(D, dtype=xi0.landmarks.dtype))
+    dtype = xi0.landmarks.dtype
+    M = jnp.zeros((D, D), dtype=dtype)
+    M = M.at[:SENSOR_DIM, :SENSOR_DIM].set(normal_euclid_sensor_differential(xi0))
+    blocks = jnp.zeros((N, 3, N, 3), dtype=dtype)
+    idx = jnp.arange(N)
+    blocks = blocks.at[idx, :, idx, :].set(normal_euclid_point_blocks(xi0.landmarks))
+    return M.at[SENSOR_DIM:, SENSOR_DIM:].set(blocks.reshape(3 * N, 3 * N))
 
 
 def state_matrix_A_normal(X: VIOGroup, xi0: VIOState, imu: IMU) -> jnp.ndarray:
-    M = normal_euclid_differential(xi0)
+    """A in normal coords = M A_euclid M^{-1}, applied block-wise: one 21x21
+    solve plus batched 3x3 solves instead of a dense D x D inverse."""
     A = state_matrix_A_euclid(X, xi0, imu)
-    return M @ A @ jnp.linalg.inv(M)
+    Ms = normal_euclid_sensor_differential(xi0)
+    Mp = normal_euclid_point_blocks(xi0.landmarks)
+    N = xi0.capacity
+    D = A.shape[-1]
+    # left-multiply by blockdiag(Ms, Mp_i)
+    top = Ms @ A[:SENSOR_DIM]
+    rest = jnp.einsum(
+        "nij,njd->nid", Mp, A[SENSOR_DIM:].reshape(N, 3, D)
+    ).reshape(3 * N, D)
+    A1 = jnp.concatenate([top, rest], axis=0)
+    # right-multiply by blockdiag(Ms, Mp_i)^{-1}, using the analytic inverse
+    # blocks of the reverse transition (no factorizations — pure matmuls)
+    Ms_inv = euclid_normal_sensor_differential(xi0)
+    Mp_inv = euclid_normal_point_blocks(xi0.landmarks)
+    left = A1[:, :SENSOR_DIM] @ Ms_inv
+    right = jnp.einsum(
+        "dni,nij->dnj", A1[:, SENSOR_DIM:].reshape(D, N, 3), Mp_inv
+    ).reshape(D, 3 * N)
+    return jnp.concatenate([left, right], axis=1)
 
 
 def input_matrix_B_normal(X: VIOGroup, xi0: VIOState) -> jnp.ndarray:
-    M = normal_euclid_differential(xi0)
-    return M @ input_matrix_B_euclid(X, xi0)
+    B = input_matrix_B_euclid(X, xi0)
+    Ms = normal_euclid_sensor_differential(xi0)
+    Mp = normal_euclid_point_blocks(xi0.landmarks)
+    N = xi0.capacity
+    top = Ms @ B[:SENSOR_DIM]
+    rest = jnp.einsum(
+        "nij,njk->nik", Mp, B[SENSOR_DIM:].reshape(N, 3, 12)
+    ).reshape(3 * N, 12)
+    return jnp.concatenate([top, rest], axis=0)
 
 
 def output_matrix_Ci_star_normal(q0, Q, camera, y_pixels) -> jnp.ndarray:
@@ -343,8 +430,13 @@ def output_matrix_Ci_normal(q0, Q, camera) -> jnp.ndarray:
 
 
 def lift_innovation_normal(Gamma: jnp.ndarray, xi0: VIOState) -> VIOAlgebra:
-    M = normal_euclid_differential(xi0)
-    return lift_innovation_euclid(jnp.linalg.solve(M, Gamma), xi0)
+    Ms_inv = euclid_normal_sensor_differential(xi0)
+    Mp_inv = euclid_normal_point_blocks(xi0.landmarks)
+    eps_sensor, gamma_p = split_coords_vector(Gamma, xi0.capacity)
+    s = jnp.einsum("ij,...j->...i", Ms_inv, eps_sensor)
+    p = jnp.einsum("...nij,...nj->...ni", Mp_inv, gamma_p)
+    Gamma_euc = jnp.concatenate([s, p.reshape(p.shape[:-2] + (-1,))], axis=-1)
+    return lift_innovation_euclid(Gamma_euc, xi0)
 
 
 def lift_innovation_discrete_normal(Gamma: jnp.ndarray, xi0: VIOState) -> VIOGroup:

@@ -265,3 +265,32 @@ def test_masked_slots_decoupled(rng):
         assert np.abs(B[s : s + 3, :]).max() == 0.0
     assert not np.any(np.isnan(A))
     assert not np.any(np.isnan(B))
+
+
+def test_normal_euclid_differential_blocks(rng):
+    """The block-assembled d(normal o euclid^-1) equals the dense jacfwd of
+    the composed transition map (regression for the block-diagonal rewrite;
+    reference computes this dense, VIOState.cpp:391-401)."""
+    xi0 = reasonable_state(rng, N)
+    dense_fn = lambda eps: C.STATE_CHARTS["normal"].chart(
+        C.STATE_CHARTS["euclid"].chart_inv(eps, xi0), xi0
+    )
+    D = xi0.dim()
+    M_num = np.asarray(jax.jacfwd(dense_fn)(jnp.zeros(D, dtype=jnp.float64)))
+    M_blk = np.asarray(M.normal_euclid_differential(xi0))
+    np.testing.assert_allclose(M_blk, M_num, atol=1e-9)
+    # off-block region of the true differential really is zero
+    np.testing.assert_allclose(M_num[:21, 21:], 0.0, atol=1e-12)
+    np.testing.assert_allclose(M_num[21:, :21], 0.0, atol=1e-12)
+
+
+def test_normal_euclid_inverse_blocks(rng):
+    """Analytic inverse blocks really invert the forward blocks."""
+    xi0 = reasonable_state(rng, N)
+    Ms = np.asarray(M.normal_euclid_sensor_differential(xi0))
+    Ms_inv = np.asarray(M.euclid_normal_sensor_differential(xi0))
+    np.testing.assert_allclose(Ms @ Ms_inv, np.eye(21), atol=1e-9)
+    Mp = np.asarray(M.normal_euclid_point_blocks(xi0.landmarks))
+    Mp_inv = np.asarray(M.euclid_normal_point_blocks(xi0.landmarks))
+    for i in range(N):
+        np.testing.assert_allclose(Mp[i] @ Mp_inv[i], np.eye(3), atol=1e-9)
