@@ -121,7 +121,11 @@ def tracker_config_from_config(cfg: dict) -> TrackerConfig:
         tracked_feature_dist=float(g("trackedFeatureDist", 20.0)),
         win_size=int(g("winSize", 21)),
         max_level=int(g("maxLevel", 3)),
-        max_error=float(g("maxError", 1e8)),
+        # GIFT/OpenCV express the KLT residual gate on 0-255 intensities
+        # (mean abs window difference); the tracker works on 0-1 images, so
+        # config values convert by /255 (reference configs carry values like
+        # 76.2, EQVIO_config_EuRoC_stationary.yaml:5)
+        max_error=float(g("maxError", 1e8)) / 255.0,
         feature_search_threshold=float(g("featureSearchThreshold", 1.0)),
         equalize_histogram=bool(g("equaliseImageHistogram", False)),
         flow_outlier_threshold=float(g("flowOutlierThreshold", 0.0)),
