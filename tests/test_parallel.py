@@ -49,6 +49,37 @@ def test_sharded_vision_update_matches_reference():
     np.testing.assert_allclose(np.asarray(out.X.Q.a), np.asarray(ref.X.Q.a), atol=1e-10)
 
 
+def test_two_process_distributed_step():
+    """A real 2-process jax.distributed run (gloo CPU collectives) of one
+    batched VIO frame step over the GLOBAL mesh — the multi-host path that
+    rides ICI/DCN on a pod slice (``parallel/dist_worker.py``)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "eqvio_tpu.parallel.dist_worker", str(p), "2", str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for p in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    assert any("DIST_OK" in out for out in outs)
+
+
 def test_batched_sharded_step_runs():
     """A batch of sequences steps under jit with the batch axis sharded."""
     n_dev = len(jax.devices())
