@@ -146,15 +146,20 @@ def _make_chunk_runner(tcfg, settings, suite, camera, imu_window, dtype):
         )
         return (state, tracker), out
 
-    @jax.jit
-    def run_chunk(state, tracker, imgs, stamps_w, gyr_w, acc_w, dts, stamps, valid):
+    def run_chunk(state, tracker, imgs_u8, stamps_w, gyr_w, acc_w, dts, stamps, valid):
+        # frames ship as uint8 (4x less host->device traffic than f32 — the
+        # dominant cost behind a tunneled/remote device) and are normalised
+        # on device
+        imgs = imgs_u8.astype(jnp.float32) * (1.0 / 255.0)
         return jax.lax.scan(
             frame_fn,
             (state, tracker),
             (imgs, stamps_w, gyr_w, acc_w, dts, stamps, valid),
         )
 
-    return run_chunk
+    # donate the carry: the previous chunk's state/tracker buffers are dead
+    # the moment the next chunk is dispatched
+    return jax.jit(run_chunk, donate_argnums=(0, 1))
 
 
 def run_dataset(
@@ -420,47 +425,20 @@ def _run_fused(
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    def flush():
-        nonlocal state, tracker, n_frames, rate_mark
-        if not pend:
+    # one-chunk software pipeline: results of chunk k are fetched and written
+    # while the device computes chunk k+1 (dispatch is async; only
+    # jax.device_get blocks).  deferred = (stamps, n, outs, t_dispatch)
+    deferred: list[tuple] = []
+
+    def process_deferred():
+        nonlocal n_frames, rate_mark
+        if not deferred:
             return
-        n = len(pend)
-        t_host0 = time.perf_counter()
-        img0 = pend[0][1]
-        imgs = np.zeros((C,) + img0.shape, dtype=np.float32)
-        stamps_w = np.zeros((C, imu_window))
-        gyr_w = np.zeros((C, imu_window, 3))
-        acc_w = np.zeros((C, imu_window, 3))
-        dts = np.zeros((C, imu_window))
-        stamps = np.zeros(C)
-        valid = np.zeros(C, dtype=bool)
-        asm_total = 0.0
-        for i, (st, im, ws, wg, wa, wd, asm) in enumerate(pend):
-            imgs[i] = im
-            stamps_w[i] = ws
-            gyr_w[i] = wg
-            acc_w[i] = wa
-            dts[i] = wd
-            stamps[i] = st
-            valid[i] = True
-            asm_total += asm
-        t_dev0 = time.perf_counter()
-        (state, tracker), outs = run_chunk(
-            state,
-            tracker,
-            jnp.asarray(imgs),
-            jnp.asarray(stamps_w, dtype=dtype),
-            jnp.asarray(gyr_w, dtype=dtype),
-            jnp.asarray(acc_w, dtype=dtype),
-            jnp.asarray(dts, dtype=dtype),
-            jnp.asarray(stamps, dtype=dtype),
-            jnp.asarray(valid),
-        )
+        stamps, n, outs, t_disp = deferred.pop()
+        t_get0 = time.perf_counter()
         if writer is not None:
             outs = jax.device_get(outs)
-        else:
-            jax.block_until_ready(state.Sigma)
-        t_dev = time.perf_counter() - t_dev0
+        t_get = time.perf_counter() - t_get0
         t_wr0 = time.perf_counter()
         if writer is not None:
             (pR, px, vel, cR, cx, bias, lms, lids, lmask, fpx, fids, fvis) = outs
@@ -474,20 +452,64 @@ def _run_fused(
         if writer is not None and timing:
             # chunk sections averaged per frame ("features" is inside the
             # fused device program -> reported under "total vision update")
-            for i in range(n):
+            for _ in range(n):
                 row = {lab: 0.0 for lab in TIMING_LABELS}
-                row["propagation"] = asm_total / n
-                row["total vision update"] = t_dev / n
+                row["total vision update"] = (t_disp + t_get) / n
                 row["write output"] = t_wr / n
-                row["total"] = (time.perf_counter() - t_host0) / n
-                writer.write_timing(t_host0, row)
+                row["total"] = (t_disp + t_get + t_wr) / n
+                writer.write_timing(t_get0, row)
         n_frames += n
-        pend.clear()
         if limit_rate and limit_rate > 0:
             sleep_for = rate_mark + n / limit_rate - time.perf_counter()
             if sleep_for > 0:
                 time.sleep(sleep_for)
             rate_mark = time.perf_counter()
+
+    def flush():
+        nonlocal state, tracker
+        if not pend:
+            return
+        n = len(pend)
+        img0 = pend[0][1]
+        imgs = np.zeros((C,) + img0.shape, dtype=np.uint8)
+        stamps_w = np.zeros((C, imu_window))
+        gyr_w = np.zeros((C, imu_window, 3))
+        acc_w = np.zeros((C, imu_window, 3))
+        dts = np.zeros((C, imu_window))
+        stamps = np.zeros(C)
+        valid = np.zeros(C, dtype=bool)
+        for i, (st, im, ws, wg, wa, wd, _asm) in enumerate(pend):
+            imgs[i] = im
+            stamps_w[i] = ws
+            gyr_w[i] = wg
+            acc_w[i] = wa
+            dts[i] = wd
+            stamps[i] = st
+            valid[i] = True
+        t_disp0 = time.perf_counter()
+        (state, tracker), outs = run_chunk(
+            state,
+            tracker,
+            jnp.asarray(imgs),
+            jnp.asarray(stamps_w, dtype=dtype),
+            jnp.asarray(gyr_w, dtype=dtype),
+            jnp.asarray(acc_w, dtype=dtype),
+            jnp.asarray(dts, dtype=dtype),
+            jnp.asarray(stamps, dtype=dtype),
+            jnp.asarray(valid),
+        )
+        if writer is not None:
+            # start device->host copies now; they overlap the next chunk
+            for leaf in jax.tree.leaves(outs):
+                try:
+                    leaf.copy_to_host_async()
+                except AttributeError:
+                    pass
+        t_disp = time.perf_counter() - t_disp0
+        pend.clear()
+        # fetch + write the PREVIOUS chunk while this one computes
+        process_deferred()
+        deferred.append((stamps.copy(), n, outs, t_disp))
 
     for meas in server:
         if meas.kind == "imu":
@@ -516,19 +538,24 @@ def _run_fused(
             imu_buf, t_prev_host, meas.stamp, imu_window
         )
         t_prev_host = meas.stamp
+        im = np.asarray(meas.data)
+        if im.dtype != np.uint8:
+            # round, don't truncate: decoded f32 pixels are k/255 +- eps
+            im = (im * 255.0 + 0.5).astype(np.uint8)
         pend.append(
             (
                 meas.stamp,
-                np.asarray(meas.data, dtype=np.float32),
+                im,
                 ws, wg, wa, wd,
                 time.perf_counter() - t_asm0,
             )
         )
         if len(pend) == C:
             flush()
-        if limit_frames and n_frames + len(pend) >= limit_frames:
+        if limit_frames and n_frames + len(pend) + (deferred[0][1] if deferred else 0) >= limit_frames:
             break
     flush()
+    process_deferred()
 
     elapsed = time.perf_counter() - t_begin
     if profile_dir:

@@ -43,16 +43,41 @@ def generate_asl_dataset(
     height: int = 240,
     num_points: int = 400,
     seed: int = 0,
+    kind: str = "wave",
+    intrinsics: tuple | None = None,
+    distortion: tuple | None = None,
+    imu_noise: dict | None = None,
+    gt_freq: float | None = None,
+    num_walls: int = 4,
 ):
-    """Write a synthetic ASL dataset tree under ``out_dir``; returns the Simulator."""
+    """Write a synthetic ASL dataset tree under ``out_dir``; returns the Simulator.
+
+    ``intrinsics``/``distortion``: optional (fx, fy, cx, cy) + radtan
+    (k1, k2, p1, p2) — frames are rendered through the distorted model, and
+    ``sensor.yaml`` carries the same coefficients (reference
+    ``ASLDatasetReader.cpp:84-101`` reads them back into a StandardCamera).
+    ``imu_noise``: optional continuous noise densities
+    ``{"gyr", "acc", "gyrBias", "accBias"}`` (units of the reference's
+    ``velocityNoise`` config block) — Gaussian noise at sigma=density*sqrt(f)
+    plus an integrated bias random walk are added to the written IMU rows;
+    ground truth stays clean.
+    ``gt_freq``: ground-truth rate (defaults to the frame rate).
+    """
     from PIL import Image
 
+    from ..camera import RadTanCamera
+
     sim = Simulator.create(
-        kind="wave", end_time=end_time + 1.0, num_points=num_points, num_walls=4,
-        seed=seed,
+        kind=kind, end_time=end_time + 1.0, num_points=num_points,
+        num_walls=num_walls, seed=seed,
     )
-    fx = fy = 200.0
-    cx, cy = width / 2, height / 2
+    if intrinsics is None:
+        fx = fy = 200.0
+        cx, cy = width / 2, height / 2
+    else:
+        fx, fy, cx, cy = intrinsics
+    dist = tuple(distortion) if distortion is not None else (0.0, 0.0, 0.0, 0.0)
+    cam = RadTanCamera.create(fx, fy, cx, cy, dist, width, height)
 
     base = os.path.join(out_dir, "mav0")
     for sub in ["imu0", "cam0/data", "state_groundtruth_estimate0"]:
@@ -61,12 +86,20 @@ def generate_asl_dataset(
     rng = np.random.default_rng(seed)
     t0 = 0.2
 
-    # IMU
+    # IMU (optionally corrupted at reference-magnitude densities)
     imu_times = np.arange(t0, end_time, 1.0 / imu_freq)
     imu = sim.get_imu_batch(jnp.asarray(imu_times))
+    gyr, acc = np.asarray(imu.gyr), np.asarray(imu.acc)
+    if imu_noise is not None:
+        n, sqf = len(imu_times), float(np.sqrt(imu_freq))
+        gyr = gyr + rng.normal(scale=imu_noise["gyr"] * sqf, size=(n, 3))
+        acc = acc + rng.normal(scale=imu_noise["acc"] * sqf, size=(n, 3))
+        sqdt = float(np.sqrt(1.0 / imu_freq))
+        gyr += np.cumsum(rng.normal(scale=imu_noise["gyrBias"] * sqdt, size=(n, 3)), axis=0)
+        acc += np.cumsum(rng.normal(scale=imu_noise["accBias"] * sqdt, size=(n, 3)), axis=0)
     with open(os.path.join(base, "imu0", "data.csv"), "w") as f:
         f.write("#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z\n")
-        for t, g, a in zip(imu_times, np.asarray(imu.gyr), np.asarray(imu.acc)):
+        for t, g, a in zip(imu_times, gyr, acc):
             f.write(f"{int(t * 1e9)}," + ",".join(f"{v:.9f}" for v in [*g, *a]) + "\n")
 
     # camera yaml (EuRoC sensor.yaml schema)
@@ -82,25 +115,19 @@ def generate_asl_dataset(
             "camera_model: pinhole\n"
             f"intrinsics: [{fx}, {fy}, {cx}, {cy}]\n"
             "distortion_model: radial-tangential\n"
-            "distortion_coefficients: [0.0, 0.0, 0.0, 0.0]\n"
+            f"distortion_coefficients: {list(dist)}\n"
         )
 
-    # frames
+    # frames (projected through the distorted camera model)
     frame_times = np.arange(t0 + 1.0 / frame_freq, end_time, 1.0 / frame_freq)
     with open(os.path.join(base, "cam0", "data.csv"), "w") as f:
         f.write("#timestamp [ns],filename\n")
         for t in frame_times:
             pose = sim.interpolate_pose(jnp.asarray(t))
             cam_inv = se3_inv(se3_mul(pose, sim.camera_offset))
-            pts = np.asarray(
-                jnp.einsum("ij,pj->pi", cam_inv.R, sim.world) + cam_inv.x
-            )
-            z = pts[:, 2]
-            px = np.stack(
-                [fx * pts[:, 0] / np.where(np.abs(z) < 1e-6, 1e-6, z) + cx,
-                 fy * pts[:, 1] / np.where(np.abs(z) < 1e-6, 1e-6, z) + cy],
-                axis=-1,
-            )
+            pts = jnp.einsum("ij,pj->pi", cam_inv.R, sim.world) + cam_inv.x
+            px = np.asarray(cam.project(pts))
+            z = np.asarray(pts)[:, 2]
             vis = (z > 0.1) & (px[:, 0] > 0) & (px[:, 0] < width) & (px[:, 1] > 0) & (px[:, 1] < height)
             img = _render(px, vis, width, height, rng)
             name = f"{int(t * 1e9)}.png"
@@ -109,14 +136,15 @@ def generate_asl_dataset(
             )
             f.write(f"{int(t * 1e9)},{name}\n")
 
-    # ground truth
+    # ground truth (clean)
+    gt_times = np.arange(t0, end_time, 1.0 / (gt_freq or frame_freq))
     with open(os.path.join(base, "state_groundtruth_estimate0", "data.csv"), "w") as f:
         f.write(
             "#timestamp, p_RS_R_x [m], p_RS_R_y [m], p_RS_R_z [m], "
             "q_RS_w [], q_RS_x [], q_RS_y [], q_RS_z [], "
             "v_RS_R_x [m s^-1], v_RS_R_y [m s^-1], v_RS_R_z [m s^-1]\n"
         )
-        for t in frame_times:
+        for t in gt_times:
             xi = sim.full_state(jnp.asarray(float(t)))
             q = rotation_to_quaternion(np.asarray(xi.sensor.pose.R))
             p = np.asarray(xi.sensor.pose.x)
@@ -128,6 +156,77 @@ def generate_asl_dataset(
             )
 
     return sim
+
+
+# EuRoC cam0 (MT9V034 + radial-tangential) public calibration — used for the
+# V1_01 proxy so the rendered frames carry the real sensor's geometry.
+EUROC_CAM0_INTRINSICS = (458.654, 457.296, 367.215, 248.375)
+EUROC_CAM0_DISTORTION = (-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05)
+
+
+def generate_v101_proxy(out_dir: str, end_time: float = 144.0, seed: int = 11):
+    """Strongest hermetic stand-in for EuRoC V1_01_easy (no egress, no files).
+
+    A 144 s ``room`` trajectory whose motion statistics match the committed
+    V1_01 numbers (path length 58.56 m — reference
+    ``configs/EQVIO_results_EuRoC_stationary.yaml`` — over the public 144 s
+    duration => mean speed 0.407 m/s), rendered at 752x480/20 Hz through the
+    real EuRoC cam0 radtan calibration, with IMU corrupted at the tuned
+    config's noise densities (``configs/config_EuRoC.yaml`` velocityNoise)
+    including integrated bias random walks.  Returns (sim, stats_dict); the
+    measured motion statistics are also written to ``proxy_info.yaml``.
+    """
+    import yaml as _yaml
+
+    sim = generate_asl_dataset(
+        out_dir,
+        end_time=end_time,
+        imu_freq=200.0,
+        frame_freq=20.0,
+        width=752,
+        height=480,
+        num_points=900,
+        seed=seed,
+        kind="room",
+        intrinsics=EUROC_CAM0_INTRINSICS,
+        distortion=EUROC_CAM0_DISTORTION,
+        imu_noise={
+            # reference configs/EQVIO_config_EuRoC_stationary.yaml velocityNoise
+            "gyr": 0.000243153572917808,
+            "acc": 0.012438843268295521,
+            "gyrBias": 0.00013372703521098622,
+            "accBias": 0.004462289865453429,
+        },
+        gt_freq=100.0,
+        num_walls=6,
+    )
+
+    # measured motion statistics vs the V1_01 targets
+    x = np.asarray(sim.poses.x)
+    t = np.asarray(sim.times)
+    seg = np.linalg.norm(np.diff(x, axis=0), axis=1)
+    speed = seg / np.diff(t)
+    R = np.asarray(sim.poses.R)
+    dR = np.einsum("tij,tik->tjk", R[:-1], R[1:])  # R_k^T R_{k+1}
+    ang = np.arccos(np.clip((np.trace(dR, axis1=1, axis2=2) - 1) / 2, -1, 1))
+    ang_rate = ang / np.diff(t)
+    mask = t[:-1] < end_time
+    stats = {
+        "duration_s": float(min(end_time, t[-1])),
+        "path_length_m": float(seg[mask].sum()),
+        "mean_speed_mps": float(speed[mask].mean()),
+        "max_speed_mps": float(speed[mask].max()),
+        "mean_ang_rate_radps": float(ang_rate[mask].mean()),
+        "max_ang_rate_radps": float(ang_rate[mask].max()),
+        "targets_v101": {
+            "duration_s": 144.0,
+            "path_length_m": 58.56120400739347,
+            "mean_speed_mps": 58.56120400739347 / 144.0,
+        },
+    }
+    with open(os.path.join(out_dir, "proxy_info.yaml"), "w") as f:
+        _yaml.safe_dump(stats, f)
+    return sim, stats
 
 
 def generate_uzhfpv_dataset(

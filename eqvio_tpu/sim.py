@@ -51,6 +51,33 @@ def trajectory_poses(kind: str, end_time: float, frequency: float, dtype=jnp.flo
         x = jnp.stack(
             [jnp.cos(ang), jnp.sin(ang), 0.1 * jnp.sin(5 * ang)], axis=-1
         )
+    elif kind in ("room", "v101"):
+        # EuRoC V1_01_easy-like 6-DoF room trajectory: multi-frequency
+        # Lissajous position in a ~3 m Vicon-room volume with yaw sweeps and
+        # small roll/pitch excitation.  Constants tuned (and scaled by the
+        # final factor) so a 144 s run matches V1_01's committed statistics:
+        # path length 58.56 m (reference
+        # configs/EQVIO_results_EuRoC_stationary.yaml "Trajectory length"),
+        # duration 144 s, hence mean speed 0.407 m/s; angular-rate mean
+        # ~0.3 rad/s.  Not real data — the strongest hermetic stand-in.
+        two_pi = 2 * jnp.pi
+        scale = 58.56 / 60.3  # exact-length calibration at 144 s
+        x = scale * jnp.stack(
+            [
+                1.30 * jnp.sin(two_pi * t / 27.0) + 0.33 * jnp.sin(two_pi * t / 7.8),
+                1.30 * jnp.sin(two_pi * t / 22.0 + 1.0) + 0.33 * jnp.cos(two_pi * t / 9.2),
+                0.35 * jnp.sin(two_pi * t / 12.0) + 0.12 * jnp.sin(two_pi * t / 5.3),
+            ],
+            axis=-1,
+        )
+        yaw = 0.9 * jnp.sin(two_pi * t / 23.0) + 0.35 * jnp.sin(two_pi * t / 7.0)
+        roll = 0.12 * jnp.sin(two_pi * t / 4.3)
+        pitch = 0.12 * jnp.cos(two_pi * t / 5.7)
+        zero = jnp.zeros_like(t)
+        Rz = so3_exp(jnp.stack([zero, zero, yaw], axis=-1))
+        Ry = so3_exp(jnp.stack([zero, pitch, zero], axis=-1))
+        Rx = so3_exp(jnp.stack([roll, zero, zero], axis=-1))
+        R = jnp.einsum("tij,tjk,tkl->til", Rz, Ry, Rx)
     elif kind == "square":
         square_time = 20.0
         ang = -2 * jnp.pi * t / square_time
