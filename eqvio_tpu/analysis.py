@@ -113,8 +113,13 @@ def analyse_trajectory(
         "flags": flags,
     }
     if est_vel is not None and gt_vel is not None:
+        # est CSV velocity is BODY-frame (reference convention,
+        # VIOState.cpp:50 integrates x via R*velocity; DatasetInfo.py:230
+        # reads it raw) — rotate to world with the estimate attitude and the
+        # alignment before comparing to the world-frame ground-truth velocity
         gt_vel_r = _resample(gt_t, gt_vel, est_t)
-        vel_err = (s * (R @ est_vel.T)).T - gt_vel_r
+        est_vel_world = np.einsum("tij,tj->ti", R_est, est_vel)
+        vel_err = (s * (R @ est_vel_world.T)).T - gt_vel_r
         result["velocity (m/s)"] = _stats(vel_err)
     return result
 

@@ -61,18 +61,23 @@ def trajectory_poses(kind: str, end_time: float, frequency: float, dtype=jnp.flo
         # duration 144 s, hence mean speed 0.407 m/s; angular-rate mean
         # ~0.3 rad/s.  Not real data — the strongest hermetic stand-in.
         two_pi = 2 * jnp.pi
-        scale = 58.56 / 60.3  # exact-length calibration at 144 s
+        # stationary start (EuRoC sequences begin at rest — the reference's
+        # "stationary" configs assume it for the gravity/zero-velocity init):
+        # hold 3 s, then ramp the time parameter in smoothly
+        u = jnp.maximum(0.0, t - 3.0)
+        tau = u - 2.0 * (1.0 - jnp.exp(-u / 2.0))
+        scale = 58.56 / 57.63  # exact-length calibration at 144 s
         x = scale * jnp.stack(
             [
-                1.30 * jnp.sin(two_pi * t / 27.0) + 0.33 * jnp.sin(two_pi * t / 7.8),
-                1.30 * jnp.sin(two_pi * t / 22.0 + 1.0) + 0.33 * jnp.cos(two_pi * t / 9.2),
-                0.35 * jnp.sin(two_pi * t / 12.0) + 0.12 * jnp.sin(two_pi * t / 5.3),
+                1.30 * jnp.sin(two_pi * tau / 27.0) + 0.33 * jnp.sin(two_pi * tau / 7.8),
+                1.30 * jnp.sin(two_pi * tau / 22.0 + 1.0) + 0.33 * jnp.cos(two_pi * tau / 9.2),
+                0.35 * jnp.sin(two_pi * tau / 12.0) + 0.12 * jnp.sin(two_pi * tau / 5.3),
             ],
             axis=-1,
         )
-        yaw = 0.9 * jnp.sin(two_pi * t / 23.0) + 0.35 * jnp.sin(two_pi * t / 7.0)
-        roll = 0.12 * jnp.sin(two_pi * t / 4.3)
-        pitch = 0.12 * jnp.cos(two_pi * t / 5.7)
+        yaw = 0.9 * jnp.sin(two_pi * tau / 23.0) + 0.35 * jnp.sin(two_pi * tau / 7.0)
+        roll = 0.12 * jnp.sin(two_pi * tau / 4.3)
+        pitch = 0.12 * jnp.cos(two_pi * tau / 5.7)
         zero = jnp.zeros_like(t)
         Rz = so3_exp(jnp.stack([zero, zero, yaw], axis=-1))
         Ry = so3_exp(jnp.stack([zero, pitch, zero], axis=-1))

@@ -149,3 +149,49 @@ def test_make_report(tmp_path):
     for name in ("trajectory", "position_error", "velocity", "biases",
                  "camera_offset", "features", "timing_flamegraph"):
         assert name in paths and os.path.getsize(paths[name]) > 0, name
+
+
+def test_velocity_error_uses_body_frame_estimate():
+    """The est CSV carries BODY-frame velocity (reference convention,
+    VIOState.cpp:50 / DatasetInfo.py:230); analyse_trajectory must rotate it
+    to world before comparing with world-frame GT velocity."""
+    from eqvio_tpu.analysis import analyse_trajectory
+    from eqvio_tpu.io.writer import rotation_to_quaternion
+
+    t = np.linspace(0.0, 10.0, 201)
+    w = 0.5
+    pos = np.stack([np.cos(w * t), np.sin(w * t), 0 * t], axis=1)
+    vel_world = np.stack([-w * np.sin(w * t), w * np.cos(w * t), 0 * t], axis=1)
+    quats, vel_body = [], []
+    for k, tk in enumerate(t):
+        c, s = np.cos(w * tk), np.sin(w * tk)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        quats.append(rotation_to_quaternion(R))
+        vel_body.append(R.T @ vel_world[k])
+    quats = np.asarray(quats)
+    res = analyse_trajectory(
+        t, pos, quats, t, pos, quats,
+        est_vel=np.asarray(vel_body), gt_vel=vel_world,
+    )
+    assert res["velocity (m/s)"]["rmse"] < 1e-9
+    assert res["position (m)"]["rmse"] < 1e-9
+    assert res["attitude (d)"]["rmse"] < 1e-5
+
+
+def test_room_trajectory_stationary_start_and_v101_stats():
+    """The 'room' (V1_01 proxy) trajectory starts at rest (EuRoC stationary
+    init) and matches V1_01's committed motion statistics at 144 s
+    (reference configs/EQVIO_results_EuRoC_stationary.yaml length 58.56 m)."""
+    import jax.numpy as jnp
+
+    from eqvio_tpu.sim import trajectory_poses
+
+    t, poses = trajectory_poses("room", 144.0, 50.0, dtype=jnp.float64)
+    x = np.asarray(poses.x)
+    tn = np.asarray(t)
+    seg = np.linalg.norm(np.diff(x, axis=0), axis=1)
+    speed = seg / np.diff(tn)
+    assert np.all(speed[tn[:-1] < 2.5] < 1e-9), "must start at rest"
+    L = float(seg.sum())
+    assert abs(L - 58.56) < 1.0, L
+    assert speed.max() < 2.0
