@@ -305,7 +305,10 @@ def run_dataset(
         loop_timer.start_timing("total")
 
         loop_timer.start_timing("features")
-        img = jnp.asarray(meas.data, dtype=jnp.float32)
+        img = np.asarray(meas.data)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) * (1.0 / 255.0)
+        img = jnp.asarray(img, dtype=jnp.float32)
         if simvis:
             from ..sim import gather_slots_compact, slot_tracker_step_compact
 

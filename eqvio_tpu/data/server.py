@@ -108,8 +108,11 @@ class DataServer:
                 for k, img in native_iter:
                     img_queue.put((img_idx[k], img))
             else:
+                # uint8 is the canonical in-flight format (4x less
+                # host->device traffic); fall back to the float API
+                load_u8 = getattr(self.reader, "load_image_u8", None)
                 for i in img_idx:
-                    img_queue.put((i, self.reader.load_image(i)))
+                    img_queue.put((i, load_u8(i) if load_u8 else self.reader.load_image(i)))
             img_queue.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)

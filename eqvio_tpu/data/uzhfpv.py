@@ -86,3 +86,11 @@ class UZHFPVDatasetReader:
 
         img = Image.open(self.images.paths[index]).convert("L")
         return np.asarray(img, dtype=np.float32) / 255.0
+
+    def load_image_u8(self, index: int) -> np.ndarray:
+        """Decode image ``index`` to grayscale uint8 (canonical in-flight
+        format: 4x less host->device traffic than f32)."""
+        from PIL import Image
+
+        img = Image.open(self.images.paths[index]).convert("L")
+        return np.asarray(img, dtype=np.uint8)

@@ -25,7 +25,7 @@ struct Frame {
     int index = -1;
     int height = 0;
     int width = 0;
-    std::vector<float> pixels;  // grayscale [h*w], 0..1
+    std::vector<unsigned char> pixels;  // grayscale [h*w], 0..255
 };
 
 bool decode_png_gray(const char* path, Frame& out) {
@@ -66,11 +66,9 @@ bool decode_png_gray(const char* path, Frame& out) {
     out.height = static_cast<int>(h);
     out.width = static_cast<int>(w);
     out.pixels.resize(static_cast<size_t>(w) * h);
-    const float inv = 1.0f / 255.0f;
     for (png_uint_32 y = 0; y < h; ++y) {
         png_read_row(png, row.data(), nullptr);
-        float* dst = out.pixels.data() + static_cast<size_t>(y) * w;
-        for (png_uint_32 x = 0; x < w; ++x) dst[x] = row[x] * inv;
+        std::memcpy(out.pixels.data() + static_cast<size_t>(y) * w, row.data(), w);
     }
     png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(fp);
@@ -120,6 +118,21 @@ struct Loader {
 
     // Returns index, fills out if capacity sufficient; -1 when exhausted,
     // -2 if the provided buffer is too small (frame stays queued).
+    int next_u8(unsigned char* out, int capacity, int* h, int* w) {
+        std::unique_lock<std::mutex> lock(mutex);
+        cv_pop.wait(lock, [this] { return !queue.empty() || done || stop; });
+        if (queue.empty()) return -1;
+        Frame& f = *queue.front();
+        *h = f.height;
+        *w = f.width;
+        if (f.height * f.width > capacity) return -2;
+        std::memcpy(out, f.pixels.data(), f.pixels.size());
+        int idx = f.index;
+        queue.pop_front();
+        cv_push.notify_one();
+        return idx;
+    }
+
     int next(float* out, int capacity, int* h, int* w) {
         std::unique_lock<std::mutex> lock(mutex);
         cv_pop.wait(lock, [this] { return !queue.empty() || done || stop; });
@@ -128,7 +141,8 @@ struct Loader {
         *h = f.height;
         *w = f.width;
         if (f.height * f.width > capacity) return -2;
-        std::memcpy(out, f.pixels.data(), f.pixels.size() * sizeof(float));
+        const float inv = 1.0f / 255.0f;
+        for (size_t i = 0; i < f.pixels.size(); ++i) out[i] = f.pixels[i] * inv;
         int idx = f.index;
         queue.pop_front();
         cv_push.notify_one();
@@ -147,6 +161,10 @@ void* il_create(const char** paths, int n, int queue_size) {
 
 int il_next(void* handle, float* out, int capacity, int* h, int* w) {
     return static_cast<Loader*>(handle)->next(out, capacity, h, w);
+}
+
+int il_next_u8(void* handle, unsigned char* out, int capacity, int* h, int* w) {
+    return static_cast<Loader*>(handle)->next_u8(out, capacity, h, w);
 }
 
 void il_destroy(void* handle) { delete static_cast<Loader*>(handle); }
