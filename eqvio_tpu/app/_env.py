@@ -15,8 +15,13 @@ import jax
 import jax.numpy as jnp
 
 
-def configure_runtime(prefer_x64: bool = True):
+def configure_runtime(prefer_x64: bool = True, force_x64: bool = False):
     """Set global precision knobs; returns the preferred state dtype.
+
+    ``force_x64`` (CLI ``--f64``) enables f64 filter math even on TPU —
+    slower (no native f64) but bit-comparable to the reference's doubles;
+    use it for accuracy validation runs.  The image front end stays f32
+    either way.
 
     ``EQVIO_DEBUG_NANS=1`` turns on jax NaN-checking in every entry point —
     the runtime analogue of the reference's sanitizer builds + pervasive
@@ -25,7 +30,7 @@ def configure_runtime(prefer_x64: bool = True):
     jax.config.update("jax_default_matmul_precision", "float32")
     if os.environ.get("EQVIO_DEBUG_NANS"):
         jax.config.update("jax_debug_nans", True)
-    if prefer_x64 and jax.default_backend() == "cpu":
+    if force_x64 or (prefer_x64 and jax.default_backend() == "cpu"):
         jax.config.update("jax_enable_x64", True)
         return jnp.float64
     return jnp.float32

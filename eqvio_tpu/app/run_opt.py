@@ -208,6 +208,16 @@ def run_dataset(
             "camera_offset_pos": tuple(T_BS[:3, 3].tolist()),
         }
     )
+    if jnp.dtype(dtype) == jnp.float32 and not settings.sqrt_covariance:
+        # f32 cannot Cholesky the tuned configs' covariance spread (~1e13);
+        # the sqrt filter carries the factor instead (condition = sqrt of the
+        # covariance's).  Auto-enable unless the config asked explicitly.
+        from ..io.config import safe_get
+
+        explicit = safe_get(config.get("eqf", {}) or {},
+                            "settings:useSqrtCovariance", None, warn=False)
+        if explicit is None:
+            settings = F.Settings(**{**settings.__dict__, "sqrt_covariance": True})
 
     camera = camera_from_info(reader.camera, dtype)
     capacity = tcfg.max_features
@@ -398,11 +408,14 @@ def run_dataset(
     if writer is not None:
         writer.flush()
     est = F.state_estimate(state)
+    health = {k: bool(v) for k, v in F.health_check(state, settings).items()}
     summary = {
         "frames": n_frames,
         "fps": n_frames / max(elapsed, 1e-9),
         "final_position": np.asarray(est.sensor.pose.x).tolist(),
         "landmarks": int(np.asarray(est.mask).sum()),
+        "nan": health["nan"],
+        "healthy": health["nan"] is False and health["scales_valid"],
     }
     return state, summary
 
@@ -566,11 +579,14 @@ def _run_fused(
     if writer is not None:
         writer.flush()
     est = F.state_estimate(state)
+    health = {k: bool(v) for k, v in F.health_check(state, settings).items()}
     summary = {
         "frames": n_frames,
         "fps": n_frames / max(elapsed, 1e-9),
         "final_position": np.asarray(est.sensor.pose.x).tolist(),
         "landmarks": int(np.asarray(est.mask).sum()),
+        "nan": health["nan"],
+        "healthy": health["nan"] is False and health["scales_valid"],
     }
     return state, summary
 
@@ -595,12 +611,15 @@ def main(argv=None):
                     help="write an XLA profiler trace to this directory")
     ap.add_argument("--chunk", type=int, default=16,
                     help="frames per fused device dispatch (1 = per-frame loop)")
+    ap.add_argument("--f64", action="store_true",
+                    help="f64 filter math even on TPU (accuracy validation; "
+                         "the image front end stays f32)")
     ap.add_argument("--display", action="store_true", help="accepted for parity; no GUI")
     args = ap.parse_args(argv)
 
     from ._env import configure_runtime
 
-    dtype = configure_runtime()
+    dtype = configure_runtime(force_x64=args.f64)
 
     config = load_config(args.config)
     # config main: section supplies defaults the CLI can override
@@ -625,8 +644,9 @@ def main(argv=None):
         dtype=dtype,
         chunk_size=args.chunk,
     )
+    status = "OK" if summary.get("healthy") else "UNHEALTHY (NaN/scale)"
     print(f"Processed {summary['frames']} frames at {summary['fps']:.1f} fps; "
-          f"{summary['landmarks']} landmarks live.")
+          f"{summary['landmarks']} landmarks live; filter {status}.")
 
 
 if __name__ == "__main__":

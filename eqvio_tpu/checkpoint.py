@@ -59,7 +59,7 @@ def _unflatten_state(d: dict, dtype=None) -> F.EqFState:
     return F.EqFState(xi0=xi0, X=X, Sigma=g("Sigma"), t=g("t"))
 
 
-def state_to_csv_line(state: F.EqFState) -> str:
+def state_to_csv_line(state: F.EqFState, settings: F.Settings | None = None) -> str:
     """Serialise the filter state to one CSV line: ``[xi0, X, Sigma]``.
 
     Mirrors the reference's ``operator<<(CSVLine&, const VIO_eqf&)``
@@ -110,14 +110,18 @@ def state_to_csv_line(state: F.EqFState) -> str:
         vals.extend(r2q(QR[i]))
     keep = np.concatenate([np.arange(21), (21 + 3 * sl[:, None] + np.arange(3)).ravel()]) \
         if n else np.arange(21)
-    Sigma = np.asarray(st.Sigma)[np.ix_(keep, keep)]
+    # reference format carries the DENSE covariance; reconstruct from the
+    # Cholesky factor in sqrt mode
+    Sigma_full = np.asarray(F.dense_sigma(st, settings))
+    Sigma = Sigma_full[np.ix_(keep, keep)]
     vals.extend(Sigma.ravel())
     return ", ".join(
         str(v) if isinstance(v, int) else f"{float(v):.17g}" for v in vals
     )
 
 
-def state_from_csv_line(line: str, capacity: int, dtype=None, t: float = 0.0) -> F.EqFState:
+def state_from_csv_line(line: str, capacity: int, dtype=None, t: float = 0.0,
+                        settings: F.Settings | None = None) -> F.EqFState:
     """Parse a :func:`state_to_csv_line` line back into an ``EqFState``.
 
     Landmarks land in slots ``0..N-1`` of a ``capacity``-slot state; the
@@ -172,6 +176,8 @@ def state_from_csv_line(line: str, capacity: int, dtype=None, t: float = 0.0) ->
     D = 21 + 3 * capacity
     Sigma = np.eye(D)
     Sigma[:d, :d] = Sig
+    if settings is not None and settings.sqrt_covariance:
+        Sigma = np.linalg.cholesky(Sigma)
     a = lambda v: jnp.asarray(v, dtype)
     sensor = VIOSensorState(bias=a(bias), pose=SE3(a(Rp), a(xp)),
                             velocity=a(vel), camera_offset=SE3(a(Rc), a(xc)))

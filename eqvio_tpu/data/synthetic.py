@@ -238,18 +238,27 @@ def generate_uzhfpv_dataset(
     height: int = 240,
     num_points: int = 300,
     seed: int = 0,
+    kind: str = "wave",
+    intrinsics: tuple | None = None,
+    distortion: tuple = (0.01, -0.005, 0.001, 0.0),
+    imu_noise: dict | None = None,
+    num_walls: int = 4,
+    wall_distance: float = 2.0,
 ):
     """Write a synthetic UZH-FPV-format tree (imu.txt / left_images.txt /
     kalibr camchain with equidistant model / groundtruth.txt)."""
     from PIL import Image
 
     sim = Simulator.create(
-        kind="wave", end_time=end_time + 1.0, num_points=num_points, num_walls=4,
-        seed=seed,
+        kind=kind, end_time=end_time + 1.0, num_points=num_points,
+        num_walls=num_walls, wall_distance=wall_distance, seed=seed,
     )
-    fx = fy = 140.0
-    cx, cy = width / 2, height / 2
-    dist = (0.01, -0.005, 0.001, 0.0)
+    if intrinsics is None:
+        fx = fy = 140.0
+        cx, cy = width / 2, height / 2
+    else:
+        fx, fy, cx, cy = intrinsics
+    dist = tuple(distortion)
 
     os.makedirs(os.path.join(out_dir, "img"), exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -257,9 +266,17 @@ def generate_uzhfpv_dataset(
 
     imu_times = np.arange(t0, end_time, 1.0 / imu_freq)
     imu = sim.get_imu_batch(jnp.asarray(imu_times))
+    gyr, acc = np.asarray(imu.gyr), np.asarray(imu.acc)
+    if imu_noise is not None:
+        n, sqf = len(imu_times), float(np.sqrt(imu_freq))
+        gyr = gyr + rng.normal(scale=imu_noise["gyr"] * sqf, size=(n, 3))
+        acc = acc + rng.normal(scale=imu_noise["acc"] * sqf, size=(n, 3))
+        sqdt = float(np.sqrt(1.0 / imu_freq))
+        gyr += np.cumsum(rng.normal(scale=imu_noise["gyrBias"] * sqdt, size=(n, 3)), axis=0)
+        acc += np.cumsum(rng.normal(scale=imu_noise["accBias"] * sqdt, size=(n, 3)), axis=0)
     with open(os.path.join(out_dir, "imu.txt"), "w") as f:
         f.write("# id timestamp wx wy wz ax ay az\n")
-        for i, (t, g, a) in enumerate(zip(imu_times, np.asarray(imu.gyr), np.asarray(imu.acc))):
+        for i, (t, g, a) in enumerate(zip(imu_times, gyr, acc)):
             f.write(f"{i} {t:.9f} " + " ".join(f"{v:.9f}" for v in [*g, *a]) + "\n")
 
     # kalibr camchain with equidistant distortion; T_cam_imu = inverse offset
@@ -312,3 +329,66 @@ def generate_uzhfpv_dataset(
                 f"{v:.9f}" for v in [*p, q[1], q[2], q[3], q[0]]) + "\n")
 
     return sim
+
+
+# UZH-FPV indoor (Snapdragon + fisheye) style calibration for the racing proxy
+UZHFPV_CAM_INTRINSICS = (278.66, 278.48, 319.75, 241.96)
+UZHFPV_CAM_DISTORTION = (-0.013721808247486035, 0.020727425669427896,
+                         -0.012786476702685545, 0.0025242267320687625)
+
+
+def generate_racing_proxy(out_dir: str, end_time: float = 60.0, seed: int = 13):
+    """Aggressive fisheye hermetic stand-in for UZH-FPV indoor-forward.
+
+    A 60 s drone-racing circuit (~216 m path, mean ~3.9 m/s, max ~5.8 m/s,
+    yaw rates to ~1.4 rad/s — the envelope of the reference's UZH-FPV
+    sequences, BASELINE.md), rendered at 640x480/30 Hz through an equidistant
+    fisheye calibration, IMU at 500 Hz corrupted with the tuned UZH-FPV
+    config's noise densities (configs/config_UZHFPV.yaml velocityNoise)
+    including integrated bias random walks.  Returns (sim, stats_dict) and
+    writes the measured motion statistics to ``proxy_info.yaml``.
+    """
+    import yaml as _yaml
+
+    sim = generate_uzhfpv_dataset(
+        out_dir,
+        end_time=end_time,
+        imu_freq=500.0,
+        frame_freq=30.0,
+        width=640,
+        height=480,
+        num_points=1600,
+        seed=seed,
+        kind="racing",
+        intrinsics=UZHFPV_CAM_INTRINSICS,
+        distortion=UZHFPV_CAM_DISTORTION,
+        imu_noise={
+            # reference configs/EQVIO_config_UZHFPV.yaml velocityNoise
+            "gyr": 0.0011913242870580211,
+            "acc": 3.262345818455677e-05,
+            "gyrBias": 0.00020008996495836354,
+            "accBias": 0.0063404671195099425,
+        },
+        num_walls=6,
+        wall_distance=4.0,
+    )
+
+    x = np.asarray(sim.poses.x)
+    t = np.asarray(sim.times)
+    seg = np.linalg.norm(np.diff(x, axis=0), axis=1)
+    speed = seg / np.diff(t)
+    R = np.asarray(sim.poses.R)
+    dR = np.einsum("tij,tik->tjk", R[:-1], R[1:])
+    ang = np.arccos(np.clip((np.trace(dR, axis1=1, axis2=2) - 1) / 2, -1, 1))
+    mask = t[:-1] < end_time
+    stats = {
+        "duration_s": float(min(end_time, t[-1])),
+        "path_length_m": float(seg[mask].sum()),
+        "mean_speed_mps": float(speed[mask].mean()),
+        "max_speed_mps": float(speed[mask].max()),
+        "mean_ang_rate_radps": float((ang / np.diff(t))[mask].mean()),
+        "max_ang_rate_radps": float((ang / np.diff(t))[mask].max()),
+    }
+    with open(os.path.join(out_dir, "proxy_info.yaml"), "w") as f:
+        _yaml.safe_dump(stats, f)
+    return sim, stats

@@ -97,6 +97,13 @@ class Settings:
     use_equivariant_output: bool = True
     remove_lost_landmarks: bool = True
     coordinate_choice: str = "euclid"
+    # square-root covariance mode: EqFState.Sigma holds the lower Cholesky
+    # factor L (Sigma = L L^T), maintained by QR re-triangularisation.  The
+    # condition number of the factor is the square root of the covariance's,
+    # which keeps the filter finite in float32 even with the reference's
+    # tuned EuRoC variances (spread ~1e13) — the TPU-native numerics answer
+    # to the reference's float64 Eigen math.  No reference equivalent.
+    sqrt_covariance: bool = False
 
     # initial camera offset as an se(3) tangent? No: (qw,qx,qy,qz, x,y,z) quat+pos
     camera_offset_quat: tuple = (1.0, 0.0, 0.0, 0.0)
@@ -183,13 +190,52 @@ def _mask_vec(xi0: VIOState) -> jnp.ndarray:
     return jnp.concatenate([jnp.ones((SENSOR_DIM,), dtype=xi0.landmarks.dtype), m])
 
 
+def tria(M: jnp.ndarray) -> jnp.ndarray:
+    """Lower-triangularise: L with L L^T = M M^T and nonnegative diagonal.
+
+    One QR of M^T [K,D] (K >= D) — the workhorse of the square-root filter;
+    lands on the MXU as a tall-skinny QR.
+    """
+    R = jnp.linalg.qr(M.T, mode="r")  # [D, D] upper, M M^T = R^T R
+    L = R.T
+    sign = jnp.sign(jnp.diagonal(L))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    return L * sign[None, :]
+
+
+def _sqrt_mask_reset(L: jnp.ndarray, keep_vec: jnp.ndarray, add_diag: jnp.ndarray) -> jnp.ndarray:
+    """Factor of ``diag(keep) (L L^T) diag(keep) + diag(add_diag)``.
+
+    The sqrt form of the masked-array covariance surgery (slot add/remove):
+    zero the slot rows of L, then re-triangularise with the fresh diagonal.
+    """
+    Lm = L * keep_vec[:, None]
+    return tria(jnp.concatenate([Lm, jnp.diag(jnp.sqrt(add_diag))], axis=1))
+
+
 def sanitize_sigma(Sigma: jnp.ndarray, xi0: VIOState, settings: Settings) -> jnp.ndarray:
     """Zero inactive rows/cols and reset their diagonal to the initial point
-    variance so padding slots stay decoupled and well-conditioned."""
+    variance so padding slots stay decoupled and well-conditioned.
+
+    In sqrt mode ``Sigma`` is the lower Cholesky factor; the same surgery is
+    done by masked re-triangularisation."""
     mv = _mask_vec(xi0)
-    Sigma = Sigma * mv[:, None] * mv[None, :]
     pad_diag = (1.0 - mv) * settings.initial_point_var
+    if settings.sqrt_covariance:
+        return _sqrt_mask_reset(Sigma, mv, pad_diag)
+    Sigma = Sigma * mv[:, None] * mv[None, :]
     return Sigma + jnp.diag(pad_diag)
+
+
+def dense_sigma(state: "EqFState", settings: Settings | None = None) -> jnp.ndarray:
+    """The covariance as a dense matrix regardless of mode.
+
+    In sqrt mode the state carries the lower Cholesky factor; consistency
+    metrics, serialisation and marginal covariances reconstruct through here.
+    """
+    if settings is not None and settings.sqrt_covariance:
+        return state.Sigma @ state.Sigma.T
+    return state.Sigma
 
 
 def init_state(settings: Settings, capacity: int, dtype=jnp.float64) -> EqFState:
@@ -205,7 +251,7 @@ def init_state(settings: Settings, capacity: int, dtype=jnp.float64) -> EqFState
             jnp.tile(settings.initial_point_cov_diag(dtype), capacity),
         ]
     )
-    Sigma = jnp.diag(diag)
+    Sigma = jnp.diag(jnp.sqrt(diag) if settings.sqrt_covariance else diag)
     return EqFState(
         xi0=xi0,
         X=group_identity(capacity, dtype),
@@ -255,16 +301,46 @@ def integrate_riccati_fast(
     A0t = suite.state_matrix_A(state.X, state.xi0, imu)
     Bt = suite.input_matrix_B(state.X, state.xi0)
     A_exp = jnp.eye(D, dtype=dtype) + dt * A0t
-    Q_in = Bt * settings.input_gain_diag(dtype)[None, :] @ Bt.T
-    P = jnp.diag(settings.state_gain_diag(state.xi0.capacity, dtype)) * _mask_outer(state.xi0)
-    Sigma = A_exp @ state.Sigma @ A_exp.T + dt * (Q_in + P)
-    Sigma = 0.5 * (Sigma + Sigma.T)
+    if settings.sqrt_covariance:
+        # zero-dt padded entries must be exact no-ops: bypass the QR
+        Sigma = jnp.where(
+            jnp.asarray(dt, dtype=dtype) > 0,
+            sanitize_sigma(
+                _sqrt_riccati_step(state, A_exp, Bt, dt, settings, dtype),
+                state.xi0, settings,
+            ),
+            state.Sigma,
+        )
+        return state._replace(Sigma=Sigma)
+    else:
+        Q_in = Bt * settings.input_gain_diag(dtype)[None, :] @ Bt.T
+        P = jnp.diag(settings.state_gain_diag(state.xi0.capacity, dtype)) * _mask_outer(state.xi0)
+        Sigma = A_exp @ state.Sigma @ A_exp.T + dt * (Q_in + P)
+        Sigma = 0.5 * (Sigma + Sigma.T)
     return state._replace(Sigma=sanitize_sigma(Sigma, state.xi0, settings))
 
 
 def _mask_outer(xi0: VIOState) -> jnp.ndarray:
     mv = _mask_vec(xi0)
     return mv[:, None] * mv[None, :]
+
+
+def _sqrt_riccati_step(state, A_exp, Bt, dt, settings: Settings, dtype) -> jnp.ndarray:
+    """Sqrt form of Sigma <- A Sigma A^T + dt (B q B^T + P): one QR over the
+    stacked factor blocks [A L | sqrt(dt) B sqrt(q) | sqrt(dt * p_mask)]."""
+    dt = jnp.asarray(dt, dtype=dtype)
+    dt_pos = jnp.maximum(dt, 0.0)
+    q_sqrt = jnp.sqrt(settings.input_gain_diag(dtype))
+    p_diag = settings.state_gain_diag(state.xi0.capacity, dtype) * _mask_vec(state.xi0)
+    stacked = jnp.concatenate(
+        [
+            A_exp @ state.Sigma,
+            jnp.sqrt(dt_pos) * (Bt * q_sqrt[None, :]),
+            jnp.diag(jnp.sqrt(dt_pos * p_diag)),
+        ],
+        axis=1,
+    )
+    return tria(stacked)
 
 
 def integrate_riccati_accurate(
@@ -288,10 +364,26 @@ def integrate_riccati_accurate(
     ABexp = jax.scipy.linalg.expm(dt_safe * AB)
     A_exp = ABexp[:D, :D]
     B_exp = ABexp[:D, D:]
-    Q_in = B_exp * (settings.input_gain_diag(dtype) / dt_safe)[None, :] @ B_exp.T
-    P = jnp.diag(settings.state_gain_diag(state.xi0.capacity, dtype)) * _mask_outer(state.xi0)
-    Sigma = A_exp @ state.Sigma @ A_exp.T + Q_in + dt_safe * P
-    Sigma = 0.5 * (Sigma + Sigma.T)
+    if settings.sqrt_covariance:
+        # Q_in = B_exp diag(q/dt) B_exp^T, P added at dt: reuse the stacked QR
+        # with B_exp/sqrt(dt) in place of sqrt(dt) B
+        q_sqrt = jnp.sqrt(settings.input_gain_diag(dtype) / dt_safe)
+        p_diag = settings.state_gain_diag(state.xi0.capacity, dtype) * _mask_vec(state.xi0)
+        stacked = jnp.concatenate(
+            [A_exp @ state.Sigma, B_exp * q_sqrt[None, :], jnp.diag(jnp.sqrt(dt_safe * p_diag))],
+            axis=1,
+        )
+        Sigma = jnp.where(
+            dt > 0,
+            sanitize_sigma(tria(stacked), state.xi0, settings),
+            state.Sigma,
+        )
+        return state._replace(Sigma=Sigma)
+    else:
+        Q_in = B_exp * (settings.input_gain_diag(dtype) / dt_safe)[None, :] @ B_exp.T
+        P = jnp.diag(settings.state_gain_diag(state.xi0.capacity, dtype)) * _mask_outer(state.xi0)
+        Sigma = A_exp @ state.Sigma @ A_exp.T + Q_in + dt_safe * P
+        Sigma = 0.5 * (Sigma + Sigma.T)
     Sigma = jnp.where(dt > 0, Sigma, state.Sigma)
     return state._replace(Sigma=sanitize_sigma(Sigma, state.xi0, settings))
 
@@ -303,10 +395,21 @@ def integrate_riccati_discrete(
     dtype = state.Sigma.dtype
     A_d = state_matrix_A_discrete(suite, state.X, state.xi0, imu, dt)
     Bt = suite.input_matrix_B(state.X, state.xi0)
-    Q_in = Bt * settings.input_gain_diag(dtype)[None, :] @ Bt.T
-    P = jnp.diag(settings.state_gain_diag(state.xi0.capacity, dtype)) * _mask_outer(state.xi0)
-    Sigma = A_d @ state.Sigma @ A_d.T + dt * (Q_in + P)
-    Sigma = 0.5 * (Sigma + Sigma.T)
+    if settings.sqrt_covariance:
+        Sigma = jnp.where(
+            jnp.asarray(dt, dtype=dtype) > 0,
+            sanitize_sigma(
+                _sqrt_riccati_step(state, A_d, Bt, dt, settings, dtype),
+                state.xi0, settings,
+            ),
+            state.Sigma,
+        )
+        return state._replace(Sigma=Sigma)
+    else:
+        Q_in = Bt * settings.input_gain_diag(dtype)[None, :] @ Bt.T
+        P = jnp.diag(settings.state_gain_diag(state.xi0.capacity, dtype)) * _mask_outer(state.xi0)
+        Sigma = A_d @ state.Sigma @ A_d.T + dt * (Q_in + P)
+        Sigma = 0.5 * (Sigma + Sigma.T)
     return state._replace(Sigma=sanitize_sigma(Sigma, state.xi0, settings))
 
 
@@ -435,21 +538,44 @@ def update_vision(
         C = suite.output_Ci(xi0.landmarks, X.Q, camera)
     C = C * active[:, None, None]
 
-    Sig_lm = Sigma[SENSOR_DIM:, SENSOR_DIM:].reshape(N, 3, N, 3)
-    S = jnp.einsum("iax,ixjy,jby->iajb", C, Sig_lm, C).reshape(2 * N, 2 * N)
     r_diag = jnp.where(
         jnp.repeat(active, 2) > 0, settings.measurement_noise**2, 1.0
     ).astype(dtype)
-    S = S + jnp.diag(r_diag)
 
-    SigCt = jnp.einsum("djy,jby->djb", Sigma[:, SENSOR_DIM:].reshape(D, N, 3), C).reshape(
-        D, 2 * N
-    )
+    if settings.sqrt_covariance:
+        # array square-root update (Kailath pre-/post-array): one QR of
+        #   [[R^1/2, C L], [0, L]]  ->  [[S^1/2, 0], [Sigma C^T S^-T/2, L+]]
+        # keeps the f32 condition at sqrt of the covariance's
+        m = 2 * N
+        L = Sigma  # lower Cholesky factor
+        CL = jnp.einsum("iax,ixd->iad", C, L[SENSOR_DIM:].reshape(N, 3, D)).reshape(m, D)
+        pre = jnp.zeros((m + D, m + D), dtype=dtype)
+        pre = pre.at[:m, :m].set(jnp.diag(jnp.sqrt(r_diag)))
+        pre = pre.at[:m, m:].set(CL)
+        pre = pre.at[m:, m:].set(L)
+        post = tria(pre)
+        S_half = post[:m, :m]
+        Kbar = post[m:, :m]
+        L_new = post[m:, m:]
+        Gamma = Kbar @ jax.scipy.linalg.solve_triangular(
+            S_half, resid.reshape(-1), lower=True
+        )
+        Sigma_new = L_new
+    else:
+        Sig_lm = Sigma[SENSOR_DIM:, SENSOR_DIM:].reshape(N, 3, N, 3)
+        S = jnp.einsum("iax,ixjy,jby->iajb", C, Sig_lm, C).reshape(2 * N, 2 * N)
+        S = S + jnp.diag(r_diag)
 
-    chol = jax.scipy.linalg.cho_factor(S, lower=True)
-    K = jax.scipy.linalg.cho_solve(chol, SigCt.T).T  # [D, 2N]
+        SigCt = jnp.einsum("djy,jby->djb", Sigma[:, SENSOR_DIM:].reshape(D, N, 3), C).reshape(
+            D, 2 * N
+        )
 
-    Gamma = K @ resid.reshape(-1)
+        chol = jax.scipy.linalg.cho_factor(S, lower=True)
+        K = jax.scipy.linalg.cho_solve(chol, SigCt.T).T  # [D, 2N]
+
+        Gamma = K @ resid.reshape(-1)
+        Sigma_new = Sigma - K @ SigCt.T
+        Sigma_new = 0.5 * (Sigma_new + Sigma_new.T)
 
     if settings.use_discrete_innovation_lift:
         Delta = suite.lift_innovation_discrete(Gamma, xi0)
@@ -457,8 +583,6 @@ def update_vision(
         Delta = group_exp(suite.lift_innovation(Gamma, xi0))
 
     X_new = group_normalize(group_mul(Delta, X))
-    Sigma_new = Sigma - K @ SigCt.T
-    Sigma_new = 0.5 * (Sigma_new + Sigma_new.T)
     Sigma_new = sanitize_sigma(Sigma_new, xi0, settings)
     return state._replace(X=X_new, Sigma=Sigma_new)
 
@@ -544,14 +668,17 @@ def add_landmarks(
     mv_new = jnp.repeat(new_mask.astype(dtype), 3)
     full_new = jnp.concatenate([jnp.zeros((SENSOR_DIM,), dtype=dtype), mv_new])
     keep = 1.0 - full_new
-    Sigma = state.Sigma * keep[:, None] * keep[None, :]
     pdiag_full = jnp.concatenate(
         [
             jnp.zeros((SENSOR_DIM,), dtype=dtype),
             jnp.tile(settings.initial_point_cov_diag(dtype), state.xi0.capacity),
         ]
     )
-    Sigma = Sigma + jnp.diag(full_new * pdiag_full)
+    if settings.sqrt_covariance:
+        Sigma = _sqrt_mask_reset(state.Sigma, keep, full_new * pdiag_full)
+    else:
+        Sigma = state.Sigma * keep[:, None] * keep[None, :]
+        Sigma = Sigma + jnp.diag(full_new * pdiag_full)
     return state._replace(xi0=xi0, X=X, Sigma=Sigma)
 
 
@@ -583,12 +710,25 @@ def outlier_mask(
 
     # Mahalanobis gate with the marginal output covariance (VIO_eqf.cpp:196-211)
     C0 = suite.output_Ci(xi0.landmarks, X.Q, camera)  # [N,2,3]
-    lm_cov = Sigma[SENSOR_DIM:, SENSOR_DIM:].reshape(N, 3, N, 3)
-    idx = jnp.arange(N)
-    lm_diag = lm_cov[idx, :, idx, :]  # [N,3,3]
+    if settings.sqrt_covariance:
+        # marginal 3x3 blocks from the factor's landmark rows
+        L_lm = Sigma[SENSOR_DIM:].reshape(N, 3, -1)
+        lm_diag = jnp.einsum("nxd,nyd->nxy", L_lm, L_lm)  # [N,3,3]
+    else:
+        lm_cov = Sigma[SENSOR_DIM:, SENSOR_DIM:].reshape(N, 3, N, 3)
+        idx = jnp.arange(N)
+        lm_diag = lm_cov[idx, :, idx, :]  # [N,3,3]
     out_cov = C0 @ lm_diag @ jnp.swapaxes(C0, -1, -2)  # [N,2,2]
     out_cov = out_cov + jnp.eye(2, dtype=dtype) * 1e-12
-    sol = jnp.linalg.solve(out_cov, resid[..., None])[..., 0]
+    # explicit 2x2 inverse: TPU's LuDecomposition is f32-only, and the
+    # closed form is faster anyway
+    a, b = out_cov[:, 0, 0], out_cov[:, 0, 1]
+    c, d = out_cov[:, 1, 0], out_cov[:, 1, 1]
+    det = a * d - b * c
+    sol = jnp.stack(
+        [d * resid[:, 0] - b * resid[:, 1], -c * resid[:, 0] + a * resid[:, 1]],
+        axis=-1,
+    ) / det[:, None]
     err_prob = jnp.sum(resid * sol, axis=-1)
     prob_out = tracked & ~abs_out & (err_prob > settings.outlier_threshold_prob)
 
@@ -636,7 +776,7 @@ def process_vision(
     return state
 
 
-def health_check(state: EqFState) -> dict:
+def health_check(state: EqFState, settings: Settings | None = None) -> dict:
     """Failure-detection flags, the masked-array form of the reference's
     pervasive asserts (``VIO_eqf.cpp:57,71,120,133``, ``VIOGroup::hasNaN``).
 
@@ -649,8 +789,12 @@ def health_check(state: EqFState) -> dict:
     nan = group_has_nan(state.X) | jnp.any(jnp.isnan(state.Sigma)) | jnp.any(
         jnp.isnan(state.xi0.landmarks)
     ) | jnp.any(jnp.isnan(state.xi0.sensor.pose.R))
-    chol = jnp.linalg.cholesky(state.Sigma)
-    sigma_pd = ~jnp.any(jnp.isnan(chol))
+    if settings is not None and settings.sqrt_covariance:
+        # the state carries the Cholesky factor already: PD <=> diag > 0
+        sigma_pd = jnp.all(jnp.diagonal(state.Sigma) > 0)
+    else:
+        chol = jnp.linalg.cholesky(state.Sigma)
+        sigma_pd = ~jnp.any(jnp.isnan(chol))
     a = state.X.Q.a
     scales_valid = jnp.all(
         jnp.where(state.xi0.mask, (a > 1e-8) & (a < 1e8), True)
@@ -674,7 +818,8 @@ def set_state(state: EqFState, xi: VIOState, settings: Settings) -> EqFState:
             jnp.tile(settings.initial_point_cov_diag(dtype), capacity),
         ]
     )
-    Sigma = sanitize_sigma(jnp.diag(diag), xi, settings)
+    Sigma0 = jnp.diag(jnp.sqrt(diag) if settings.sqrt_covariance else diag)
+    Sigma = sanitize_sigma(Sigma0, xi, settings)
     return EqFState(xi0=xi, X=X, Sigma=Sigma, t=state.t)
 
 
@@ -692,14 +837,17 @@ def set_landmarks(
         [jnp.zeros((SENSOR_DIM,), dtype=dtype), jnp.repeat(mask.astype(dtype), 3)]
     )
     keep = 1.0 - mv
-    Sigma = state.Sigma * keep[:, None] * keep[None, :]
     pdiag = jnp.concatenate(
         [
             jnp.zeros((SENSOR_DIM,), dtype=dtype),
             jnp.tile(settings.initial_point_cov_diag(dtype), xi0.capacity),
         ]
     )
-    Sigma = Sigma + jnp.diag(mv * pdiag)
+    if settings.sqrt_covariance:
+        Sigma = _sqrt_mask_reset(state.Sigma, keep, mv * pdiag)
+    else:
+        Sigma = state.Sigma * keep[:, None] * keep[None, :]
+        Sigma = Sigma + jnp.diag(mv * pdiag)
     return state._replace(xi0=xi0, X=X, Sigma=sanitize_sigma(Sigma, xi0, settings))
 
 
@@ -726,14 +874,17 @@ def augment_landmarks(
     mv_new = jnp.repeat(new_mask.astype(dtype), 3)
     full_new = jnp.concatenate([jnp.zeros((SENSOR_DIM,), dtype=dtype), mv_new])
     keep = 1.0 - full_new
-    Sigma = state.Sigma * keep[:, None] * keep[None, :]
     pdiag_full = jnp.concatenate(
         [
             jnp.zeros((SENSOR_DIM,), dtype=dtype),
             jnp.tile(settings.initial_point_cov_diag(dtype), state.xi0.capacity),
         ]
     )
-    Sigma = Sigma + jnp.diag(full_new * pdiag_full)
+    if settings.sqrt_covariance:
+        Sigma = _sqrt_mask_reset(state.Sigma, keep, full_new * pdiag_full)
+    else:
+        Sigma = state.Sigma * keep[:, None] * keep[None, :]
+        Sigma = Sigma + jnp.diag(full_new * pdiag_full)
     return state._replace(xi0=xi0, X=X, Sigma=Sigma)
 
 
@@ -758,9 +909,15 @@ def compute_nees(
     mv = _mask_vec(state.xi0)
     eps = eps * mv
     # masked Sigma is block diagonal w.r.t. inactive slots (diag = const), so
-    # solving on the full matrix is exact for the active subspace
-    sol = jnp.linalg.solve(state.Sigma, eps)
-    nees = jnp.sum(eps * sol)
+    # solving on the full matrix is exact for the active subspace.  Sigma is
+    # PD: solve via Cholesky (TPU has no f64 LU).
+    if settings is not None and settings.sqrt_covariance:
+        w = jax.scipy.linalg.solve_triangular(state.Sigma, eps, lower=True)
+        nees = jnp.sum(w * w)
+    else:
+        chol = jnp.linalg.cholesky(state.Sigma)
+        w = jax.scipy.linalg.solve_triangular(chol, eps, lower=True)
+        nees = jnp.sum(w * w)
     dim = SENSOR_DIM + 3 * jnp.sum(state.xi0.mask)
     return nees / dim
 
@@ -804,11 +961,15 @@ def consistency_outputs(
     err_state = state_action(group_inv(state.X), true_state)
     eps = suite.chart.chart(err_state, state.xi0) * _mask_vec(state.xi0)
     dim = SENSOR_DIM + 3 * jnp.sum(state.xi0.mask)
-    total = jnp.sum(eps * jnp.linalg.solve(state.Sigma, eps)) / dim
-    pose_eps = eps[6:12]
-    pose = pose_eps @ jnp.linalg.solve(state.Sigma[6:12, 6:12], pose_eps) / 6.0
-    att_eps = eps[6:9]
-    att = att_eps @ jnp.linalg.solve(state.Sigma[6:9, 6:9], att_eps) / 3.0
+    Sig = dense_sigma(state, settings)
+
+    def pd_quad(M, v):  # v^T M^-1 v via Cholesky (TPU has no f64 LU)
+        w = jax.scipy.linalg.solve_triangular(jnp.linalg.cholesky(M), v, lower=True)
+        return jnp.sum(w * w)
+
+    total = pd_quad(Sig, eps) / dim
+    pose = pd_quad(Sig[6:12, 6:12], eps[6:12]) / 6.0
+    att = pd_quad(Sig[6:9, 6:9], eps[6:9]) / 3.0
     est = state_estimate(state)
     lm_err = jnp.linalg.norm(est.landmarks - true_state.landmarks, axis=-1)
     lm_err = jnp.where(state.xi0.mask, lm_err, jnp.nan)
@@ -817,6 +978,6 @@ def consistency_outputs(
         pose,
         att,
         eps[:SENSOR_DIM],
-        jnp.diagonal(state.Sigma)[:SENSOR_DIM],
+        jnp.diagonal(Sig)[:SENSOR_DIM],
         lm_err,
     )

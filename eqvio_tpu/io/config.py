@@ -104,6 +104,8 @@ def settings_from_config(cfg: dict, warn: bool = False) -> Settings:
         use_feature_predictions=g("settings:useFeaturePredictions", False),
         use_equivariant_output=g("settings:useEquivariantOutput", True),
         remove_lost_landmarks=g("settings:removeLostLandmarks", True),
+        # TPU extension (no reference key, so never warn): sqrt-covariance mode
+        sqrt_covariance=safe_get(eqf, "settings:useSqrtCovariance", False, warn=False),
         coordinate_choice=_COORD_ALIAS.get(coord, "euclid"),
         camera_offset_quat=quat,
         camera_offset_pos=pos,

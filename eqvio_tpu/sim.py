@@ -83,6 +83,39 @@ def trajectory_poses(kind: str, end_time: float, frequency: float, dtype=jnp.flo
         Ry = so3_exp(jnp.stack([zero, pitch, zero], axis=-1))
         Rx = so3_exp(jnp.stack([roll, zero, zero], axis=-1))
         R = jnp.einsum("tij,tjk,tkl->til", Rz, Ry, Rx)
+    elif kind == "racing":
+        # UZH-FPV-like aggressive drone-racing circuit: a large figure-eight
+        # with vertical weave in an ~18x9x2 m hall, stationary start, yaw
+        # following the track tangent, physical banking from yaw-rate*speed.
+        # At 60 s: path ~216 m, mean speed ~3.9 m/s, max ~5.8 m/s, yaw rate
+        # up to ~1.4 rad/s — the envelope of the reference's UZH-FPV
+        # indoor-forward sequences (BASELINE.md).
+        two_pi = 2 * jnp.pi
+        u = jnp.maximum(0.0, t - 3.0)
+        tau = u - 2.0 * (1.0 - jnp.exp(-u / 2.0))
+        A, B = 9.0, 4.5
+        x = jnp.stack(
+            [
+                A * jnp.sin(two_pi * tau / 14.0),
+                B * jnp.sin(2 * two_pi * tau / 14.0),
+                1.0 + 0.8 * jnp.sin(two_pi * tau / 6.5),
+            ],
+            axis=-1,
+        )
+        # heading from the analytic track tangent (well-defined at rest)
+        dxdtau = A * (two_pi / 14.0) * jnp.cos(two_pi * tau / 14.0)
+        dydtau = B * (2 * two_pi / 14.0) * jnp.cos(2 * two_pi * tau / 14.0)
+        yaw = jnp.unwrap(jnp.arctan2(dydtau, dxdtau))
+        dt_s = 1.0 / frequency
+        speed = jnp.linalg.norm(jnp.gradient(x, dt_s, axis=0), axis=-1)
+        yaw_rate = jnp.gradient(yaw, dt_s)
+        roll = jnp.clip(jnp.arctan(yaw_rate * speed / 9.81), -0.6, 0.6)
+        pitch = jnp.clip(-0.05 * jnp.gradient(speed, dt_s), -0.3, 0.3)
+        zero = jnp.zeros_like(t)
+        Rz = so3_exp(jnp.stack([zero, zero, yaw], axis=-1))
+        Ry = so3_exp(jnp.stack([zero, pitch, zero], axis=-1))
+        Rx = so3_exp(jnp.stack([roll, zero, zero], axis=-1))
+        R = jnp.einsum("tij,tjk,tkl->til", Rz, Ry, Rx)
     elif kind == "square":
         square_time = 20.0
         ang = -2 * jnp.pi * t / square_time

@@ -304,3 +304,68 @@ def test_consistency_outputs_batch_mode():
     T = np.asarray(res.times).shape[0]
     assert pose_nees.shape == (2, T)
     assert np.all(np.isfinite(pose_nees))
+
+
+def test_sqrt_covariance_matches_dense():
+    """sqrt-mode (Cholesky-factor) filter == dense filter in f64 over a full
+    self-initialising sim sequence, including landmark lifecycle."""
+    import numpy as np
+
+    from eqvio_tpu.runner import ate_rmse, run_simulation
+
+    kw = dict(capacity=12, max_features=10, end_time=4.0, num_walls=4,
+              augment_true_landmarks=False)
+    res_d = run_simulation(F.Settings(measurement_noise=0.5), **kw)
+    res_s = run_simulation(F.Settings(measurement_noise=0.5, sqrt_covariance=True), **kw)
+    np.testing.assert_allclose(
+        np.asarray(res_s.est_position), np.asarray(res_d.est_position),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.nees), np.asarray(res_d.nees), rtol=1e-4, atol=1e-8
+    )
+
+
+def test_sqrt_covariance_f32_survives_euroc_variances():
+    """float32 + the reference's tuned EuRoC variances (spread ~1e13): the
+    dense filter's Cholesky collapses, the sqrt filter must stay finite and
+    track.  This is the TPU numerics case (configs/config_EuRoC.yaml)."""
+    import numpy as np
+
+    euroc = dict(
+        measurement_noise=1.9297839969591413,
+        initial_attitude_var=0.13565029126052572,
+        initial_bias_accel_var=1.5813333765300104,
+        initial_bias_omega_var=97162.79515771076,
+        initial_camera_attitude_var=0.0010228558965517584,
+        initial_camera_position_var=0.023501400846134893,
+        initial_point_var=129.90415638150924,
+        initial_position_var=0.1,
+        initial_velocity_var=8.974852995731e-08,
+        attitude_process_var=6.025875320811407e-05,
+        camera_attitude_process_var=5.075382174045239e-06,
+        camera_position_process_var=1.2188313140115635e-05,
+        point_process_var=0.00029845436136043135,
+        position_process_var=9.981466095928483e-06,
+        velocity_process_var=0.025317333863551263,
+        bias_accel_process_var=0.0,
+        bias_omega_process_var=0.0,
+        coordinate_choice="invdepth",
+        fast_riccati=True,
+        use_discrete_innovation_lift=False,
+        use_median_depth=True,
+        initial_scene_depth=2.0,
+    )
+    import jax.numpy as jnp
+
+    from eqvio_tpu.runner import prepare_sim_inputs, run_prepared
+
+    settings = F.Settings(sqrt_covariance=True, **euroc)
+    inputs = prepare_sim_inputs(settings, capacity=10, max_features=8,
+                                end_time=3.0, dtype=jnp.float32)
+    res = run_prepared(settings, inputs, augment_true_landmarks=False,
+                       compute_nees=False)
+    pos = np.asarray(res.est_position)
+    assert not np.any(np.isnan(pos))
+    err = np.linalg.norm(pos - np.asarray(res.true_position), axis=-1)
+    assert err.max() < 1.0, err.max()

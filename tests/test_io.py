@@ -100,7 +100,9 @@ def test_native_image_loader(tmp_path):
     loader.close()
     assert sorted(seen) == [0, 1, 2, 3]
     for k in range(4):
-        np.testing.assert_allclose(seen[k], imgs[k].astype(np.float32) / 255.0, atol=1e-6)
+        # canonical in-flight format is uint8 (4x less host->device traffic)
+        assert seen[k].dtype == np.uint8
+        np.testing.assert_array_equal(seen[k], imgs[k])
 
 
 def test_template_config_has_all_keys(capsys):
