@@ -124,16 +124,33 @@ def analyse_trajectory(
     return result
 
 
-def analyse_output_dir(output_dir: str, gt_csv: str, gt_time_scale: float = 1e-9) -> dict:
-    """Analyse a run's output directory against an ASL ground-truth CSV."""
+def load_groundtruth(gt_csv: str, fmt: str = "asl"):
+    """Ground truth as ``(t [s], pos, quat wxyz, vel_or_None)``.
+
+    Formats: ``asl`` (EuRoC comma CSV, ns stamps, quat wxyz, world velocity —
+    ``ASLDatasetReader.cpp:104-126``) and ``uzhfpv`` (space-delimited
+    ``id t tx ty tz qx qy qz qw`` in seconds — the reference reads it via
+    ``DatasetInfo.py`` trajectory loading)."""
+    if fmt == "uzhfpv":
+        data = np.genfromtxt(gt_csv, ndmin=2)
+        t = data[:, 1]
+        pos = data[:, 2:5]
+        quat = data[:, [8, 5, 6, 7]]  # xyzw -> wxyz
+        return t, pos, quat, None
+    data = np.genfromtxt(gt_csv, delimiter=",", skip_header=1, ndmin=2)
+    vel = data[:, 8:11] if data.shape[1] >= 11 else None
+    return data[:, 0] * 1e-9, data[:, 1:4], data[:, 4:8], vel
+
+
+def analyse_output_dir(output_dir: str, gt_csv: str, gt_format: str = "asl") -> dict:
+    """Analyse a run's output directory against a ground-truth file."""
     est = load_imu_state_csv(os.path.join(output_dir, "IMUState.csv"))
-    gt = np.genfromtxt(gt_csv, delimiter=",", skip_header=1)
-    gt_t = gt[:, 0] * gt_time_scale
+    gt_t, gt_pos, gt_quat, gt_vel = load_groundtruth(gt_csv, gt_format)
     res = analyse_trajectory(
         est["t"], est["position"], est["quaternion"],
-        gt_t, gt[:, 1:4], gt[:, 4:8],
+        gt_t, gt_pos, gt_quat,
         est_vel=est["velocity"],
-        gt_vel=gt[:, 8:11] if gt.shape[1] >= 11 else None,
+        gt_vel=gt_vel,
     )
     with open(os.path.join(output_dir, "results.yaml"), "w") as f:
         yaml.safe_dump(res, f)
@@ -184,7 +201,7 @@ def analyse_timing(path: str, skip_first: int = 10) -> dict:
 
 
 def make_report(output_dir: str, gt_csv: str | None = None, fig_dir: str | None = None,
-                gt_time_scale: float = 1e-9) -> dict:
+                gt_format: str = "asl") -> dict:
     """Produce the per-dataset figure set from a run's output directory.
 
     Mirrors the reference's offline ``analyse_dataset`` plot family
@@ -208,9 +225,8 @@ def make_report(output_dir: str, gt_csv: str | None = None, fig_dir: str | None 
 
     gt_pos = None
     if gt_csv and os.path.exists(gt_csv):
-        gt = np.genfromtxt(gt_csv, delimiter=",", skip_header=1)
-        gt_t = gt[:, 0] * gt_time_scale
-        gt_pos = _resample(gt_t, gt[:, 1:4], est["t"])
+        gt_t, gt_p, _, _ = load_groundtruth(gt_csv, gt_format)
+        gt_pos = _resample(gt_t, gt_p, est["t"])
 
     paths["trajectory"] = plot_trajectory(
         est["position"], gt_pos, os.path.join(fig_dir, "trajectory.pdf")

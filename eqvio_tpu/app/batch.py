@@ -23,7 +23,8 @@ from .run_opt import run_dataset
 
 
 def run_batch(dataset_list: str, config_path: str, output_root: str, dtype=None,
-              plots: bool = True):
+              plots: bool = True, timing: bool = True, checkpoint_every: int = 0,
+              config_path_by_entry: bool = True):
     if dtype is None:
         from ._env import configure_runtime
 
@@ -36,29 +37,43 @@ def run_batch(dataset_list: str, config_path: str, output_root: str, dtype=None,
     for entry in datasets.get("datasets", datasets if isinstance(datasets, list) else []):
         name = entry["name"]
         out_dir = os.path.join(output_root, name)
-        print(f"=== {name} ===")
+        print(f"=== {name} ===", flush=True)
+        # per-entry config override (the reference's batch YAML pairs each
+        # dataset list with one config; ours allows per-sequence configs so
+        # EuRoC- and UZHFPV-tuned sequences can share one batch run)
+        cfg = load_config(entry["config"]) if (config_path_by_entry and entry.get("config")) else config
+        ckpt = os.path.join(out_dir, "checkpoint.npz")
+        resume = ckpt if (checkpoint_every and os.path.exists(ckpt)) else None
+        if resume:
+            print(f"  resuming from {ckpt}", flush=True)
         _, summary = run_dataset(
             entry["location"],
-            config,
+            cfg,
             mode=entry.get("mode", "asl"),
             output_dir=out_dir,
             start=entry.get("start"),
             stop=entry.get("stop"),
             camera_yaml=entry.get("camera"),
-            timing=True,
+            timing=timing,
             dtype=dtype,
+            checkpoint_every=checkpoint_every,
+            resume=resume,
         )
-        print(f"  {summary['frames']} frames @ {summary['fps']:.1f} fps")
+        print(f"  {summary['frames']} frames @ {summary['fps']:.1f} fps "
+              f"(device {summary.get('device_ms_per_frame', '?')} ms/frame, "
+              f"dispatch {summary.get('dispatch_ms_per_frame', '?')} ms/frame)",
+              flush=True)
         gt = entry.get("groundtruth") or os.path.join(
             entry["location"], "mav0", "state_groundtruth_estimate0", "data.csv"
         )
+        gt_format = entry.get("gt_format", "asl")
         if os.path.exists(gt):
-            res = analyse_output_dir(out_dir, gt)
+            res = analyse_output_dir(out_dir, gt, gt_format=gt_format)
             print(f"  position rmse: {res['position (m)']['rmse']:.4f} m  "
-                  f"scale: {res['scale']:.4f}")
+                  f"scale: {res['scale']:.4f}", flush=True)
             result_files.append(os.path.join(out_dir, "results.yaml"))
             if plots:
-                make_report(out_dir, gt)
+                make_report(out_dir, gt, gt_format=gt_format)
 
     summary = summarise_results(result_files)
     with open(os.path.join(output_root, "summary.yaml"), "w") as f:
@@ -74,8 +89,11 @@ def main(argv=None):
     ap.add_argument("config")
     ap.add_argument("--output", default="batch_out")
     ap.add_argument("--noPlots", action="store_true")
+    ap.add_argument("--noTiming", action="store_true")
+    ap.add_argument("--checkpointEvery", type=int, default=0, dest="checkpoint_every")
     args = ap.parse_args(argv)
-    run_batch(args.datasets, args.config, args.output, plots=not args.noPlots)
+    run_batch(args.datasets, args.config, args.output, plots=not args.noPlots,
+              timing=not args.noTiming, checkpoint_every=args.checkpoint_every)
 
 
 if __name__ == "__main__":

@@ -162,6 +162,75 @@ def _make_chunk_runner(tcfg, settings, suite, camera, imu_window, dtype):
     return jax.jit(run_chunk, donate_argnums=(0, 1))
 
 
+def _make_stage_runners(tcfg, settings, suite, camera, imu_window, dtype):
+    """Jitted per-stage chunk scans for device-time attribution.
+
+    The fused chunk program hides the reference's per-section split
+    (``main_opt.cpp:120-121`` labels: features / propagation / preprocessing /
+    correction) inside one device program.  These four scans re-run the same
+    chunk stage-by-stage with ``block_until_ready`` so ``--timing`` rows carry
+    real device costs per section (differences attribute preprocessing vs
+    correction).  Used once per run, on one representative full chunk.
+
+    Note: when ``use_feature_predictions`` is on, the calibration's feature
+    stage tracks without predictions (the coupled state is not available
+    stage-wise); the shipped EuRoC/UZH-FPV configs run with predictions off.
+    """
+    from ..frontend.tracker import tracker_step as _tracker_step
+
+    K = imu_window
+
+    def feat_scan(tracker, imgs_u8):
+        imgs = imgs_u8.astype(jnp.float32) * (1.0 / 255.0)
+
+        def body(trk, img):
+            trk = _tracker_step(trk, img, tcfg)
+            return trk, (trk.positions, trk.mask, trk.ids)
+
+        return jax.lax.scan(body, tracker, imgs)
+
+    def _window(stamps_w, gyr_w, acc_w):
+        return IMU(
+            stamp=stamps_w,
+            gyr=gyr_w,
+            acc=acc_w,
+            gyr_bias_vel=jnp.zeros((K, 3), dtype=dtype),
+            acc_bias_vel=jnp.zeros((K, 3), dtype=dtype),
+        )
+
+    def prop_scan(state, stamps_w, gyr_w, acc_w, dts):
+        def body(st, inp):
+            sw, gw, aw, dt = inp
+            st = F.propagate_window(st, _window(sw, gw, aw), dt, settings, suite)
+            return st, st.t
+
+        return jax.lax.scan(body, state, (stamps_w, gyr_w, acc_w, dts))
+
+    def _vision_scan(do_update):
+        def scan(state, stamps_w, gyr_w, acc_w, dts, pix_seq, vis_seq, ids_seq):
+            def body(st, inp):
+                sw, gw, aw, dt, pix, vis, ids = inp
+                st = F.propagate_window(st, _window(sw, gw, aw), dt, settings, suite)
+                st = F.process_vision(
+                    st, pix.astype(dtype), vis, ids, camera, settings, suite,
+                    do_update=do_update,
+                )
+                return st, st.t
+
+            return jax.lax.scan(
+                body, state, (stamps_w, gyr_w, acc_w, dts, pix_seq, vis_seq, ids_seq)
+            )
+
+        return scan
+
+    return (
+        jax.jit(feat_scan),
+        jax.jit(prop_scan),
+        jax.jit(_vision_scan(do_update=False)),
+        jax.jit(_vision_scan(do_update=True)),
+    )
+
+
 def run_dataset(
     dataset_dir: str,
     config: dict,
@@ -180,12 +249,22 @@ def run_dataset(
     profile_dir: str | None = None,
     camera_lag: float | None = None,
     chunk_size: int = 16,
+    checkpoint_every: int = 0,
+    checkpoint_path: str | None = None,
+    resume: str | None = None,
 ):
     """Run the full real-data pipeline; returns (writer, summary dict).
 
     ``start``/``stop`` are offsets from the first data time, matching the
     reference (``main_opt.cpp:124-130``), so batch YAMLs carry portable
     per-sequence windows instead of absolute epoch stamps.
+
+    ``checkpoint_every=N`` saves the complete pipeline state (filter, tracker,
+    IMU buffer, stream cursor) to ``checkpoint_path`` (default
+    ``output_dir/checkpoint.npz``) every ~N frames at chunk boundaries;
+    ``resume=PATH`` restarts from such a checkpoint, reproducing the
+    uninterrupted run exactly (SURVEY §5.4 — no reference equivalent, the
+    closest is one-shot CSV serialisation at ``VIO_eqf.cpp:247``).
     """
     if camera_lag is None:
         camera_lag = float((config.get("main", {}) or {}).get("cameraLag", 0.0))
@@ -226,6 +305,18 @@ def run_dataset(
     state = F.init_state(settings, capacity, dtype)
     tracker = tracker_init(tcfg, (h, w), dtype=jnp.float32)
     suite = settings.suite
+
+    resume_cursor = None
+    if resume:
+        from ..checkpoint import load_checkpoint
+
+        state, trk_saved, resume_cursor, _ = load_checkpoint(resume, dtype=dtype)
+        if trk_saved is not None:
+            tracker = trk_saved
+    if checkpoint_path is None and checkpoint_every and output_dir:
+        import os
+
+        checkpoint_path = os.path.join(output_dir, "checkpoint.npz")
 
     sim = None
     sim_tracker = None
@@ -273,6 +364,13 @@ def run_dataset(
             server, state, tracker, tcfg, settings, suite, camera, writer,
             timing, imu_window, dtype, chunk_size, limit_frames, limit_rate,
             profile_dir, simimu, sim,
+            checkpoint_every=checkpoint_every, checkpoint_path=checkpoint_path,
+            resume_cursor=resume_cursor,
+        )
+    if checkpoint_every or resume_cursor:
+        raise ValueError(
+            "checkpoint/resume is wired into the fused chunk path; "
+            "run with chunk_size > 1 (and without --simvis)"
         )
 
     imu_buf: list[tuple[float, np.ndarray, np.ndarray]] = []
@@ -424,9 +522,19 @@ def _run_fused(
     server, state, tracker, tcfg, settings, suite, camera, writer,
     timing, imu_window, dtype, chunk_size, limit_frames, limit_rate,
     profile_dir, simimu, sim,
+    checkpoint_every: int = 0, checkpoint_path: str | None = None,
+    resume_cursor: dict | None = None,
 ):
     """Chunked device loop: K frames per dispatch, outputs pulled once per
-    chunk (replaces the reference's per-frame loop with a fused scan)."""
+    chunk (replaces the reference's per-frame loop with a fused scan).
+
+    Timing semantics (``--timing``): the per-frame sections
+    features/propagation/preprocessing/correction are DEVICE times calibrated
+    once per run by re-running one representative chunk stage-by-stage
+    (:func:`_make_stage_runners`); "total vision update" is the measured
+    fused-chunk device time per frame; "total" is wall time per frame
+    including dispatch/transfer overhead; "write output" is host CSV time.
+    """
     run_chunk = _make_chunk_runner(tcfg, settings, suite, camera, imu_window, dtype)
     C = chunk_size
 
@@ -434,9 +542,30 @@ def _run_fused(
     initialised = False
     t_prev_host = -1.0
     n_frames = 0
+    skip_imu_until = -np.inf
+    skip_img_until = -np.inf
+    if resume_cursor:
+        initialised = True
+        t_prev_host = float(resume_cursor["t_prev"])
+        n_frames = int(resume_cursor["frames"])
+        imu_buf = [
+            (float(t), np.asarray(g, dtype=float), np.asarray(a, dtype=float))
+            for t, g, a in resume_cursor.get("imu_buf", [])
+        ]
+        skip_imu_until = float(resume_cursor.get("last_imu_stamp", t_prev_host))
+        skip_img_until = t_prev_host
+    last_ckpt_frames = n_frames
     pend: list[tuple] = []  # (stamp, img, w_stamp, w_gyr, w_acc, w_dt, asm_time)
     t_begin = time.perf_counter()
     rate_mark = time.perf_counter()
+
+    # wall decomposition accumulators (VERDICT r2: the 0.07x headline needs a
+    # dispatch-vs-device story, not one opaque number)
+    disp_s = 0.0  # host->device transfer + async dispatch, blocking portion
+    get_s = 0.0  # device->host output fetch (blocks on chunk completion)
+    wr_s = 0.0  # host CSV writing
+    device_ms_per_frame = None  # fused-chunk device time, measured once
+    calib = None  # per-frame device section times, calibrated once
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -447,7 +576,7 @@ def _run_fused(
     deferred: list[tuple] = []
 
     def process_deferred():
-        nonlocal n_frames, rate_mark
+        nonlocal n_frames, rate_mark, get_s, wr_s
         if not deferred:
             return
         stamps, n, outs, t_disp = deferred.pop()
@@ -455,6 +584,7 @@ def _run_fused(
         if writer is not None:
             outs = jax.device_get(outs)
         t_get = time.perf_counter() - t_get0
+        get_s += t_get
         t_wr0 = time.perf_counter()
         if writer is not None:
             (pR, px, vel, cR, cx, bias, lms, lids, lmask, fpx, fids, fvis) = outs
@@ -465,12 +595,17 @@ def _run_fused(
                 )
                 writer.write_features(stamps[i], fpx[i], fids[i], fvis[i])
         t_wr = time.perf_counter() - t_wr0
+        wr_s += t_wr
         if writer is not None and timing:
-            # chunk sections averaged per frame ("features" is inside the
-            # fused device program -> reported under "total vision update")
             for _ in range(n):
                 row = {lab: 0.0 for lab in TIMING_LABELS}
-                row["total vision update"] = (t_disp + t_get) / n
+                if calib is not None:
+                    row.update(calib)
+                    row["total vision update"] = (
+                        calib["propagation"] + calib["preprocessing"] + calib["correction"]
+                    )
+                else:
+                    row["total vision update"] = (t_disp + t_get) / n
                 row["write output"] = t_wr / n
                 row["total"] = (t_disp + t_get + t_wr) / n
                 writer.write_timing(t_get0, row)
@@ -481,8 +616,74 @@ def _run_fused(
                 time.sleep(sleep_for)
             rate_mark = time.perf_counter()
 
+    def _measure_chunk(dev_inputs):
+        """Measure fused-chunk device time (and optionally per-stage times)
+        by re-running the already-compiled chunk program on state snapshots."""
+        nonlocal device_ms_per_frame, calib
+        state_h = jax.device_get(state)
+        tracker_h = jax.device_get(tracker)
+
+        def once():
+            st = jax.device_put(state_h)
+            trk = jax.device_put(tracker_h)
+            jax.block_until_ready((st, trk))
+            t0 = time.perf_counter()
+            (s2, t2), o2 = run_chunk(st, trk, *dev_inputs)
+            jax.block_until_ready(o2)
+            return time.perf_counter() - t0
+
+        once()  # ensures the program is compiled (shared with the real flush)
+        device_ms_per_frame = min(once(), once()) * 1e3 / C
+
+        if not timing:
+            return
+        # stage-by-stage calibration: 4 extra (subset) programs, compiled once
+        feat_scan, prop_scan, pre_scan, corr_scan = _make_stage_runners(
+            tcfg, settings, suite, camera, imu_window, dtype
+        )
+        imgs_d, stamps_w_d, gyr_d, acc_d, dts_d, _stamps_d, _valid_d = dev_inputs
+
+        def timed(fn, *a):
+            jax.block_until_ready(fn(*a))  # compile
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = fn(*a)
+                jax.block_until_ready(out)
+                best = min(best, time.perf_counter() - t0)
+            return best, out
+
+        trk0 = jax.device_put(tracker_h)
+        t_feat, (_, (pix_seq, vis_seq, ids_seq)) = timed(feat_scan, trk0, imgs_d)
+        st0 = jax.device_put(state_h)
+        t_prop, _ = timed(prop_scan, st0, stamps_w_d, gyr_d, acc_d, dts_d)
+        t_pre, _ = timed(
+            pre_scan, st0, stamps_w_d, gyr_d, acc_d, dts_d, pix_seq, vis_seq, ids_seq
+        )
+        t_corr, _ = timed(
+            corr_scan, st0, stamps_w_d, gyr_d, acc_d, dts_d, pix_seq, vis_seq, ids_seq
+        )
+        calib = {
+            "features": t_feat / C,
+            "propagation": t_prop / C,
+            "preprocessing": max(t_pre - t_prop, 0.0) / C,
+            "correction": max(t_corr - t_pre, 0.0) / C,
+        }
+
+    def _save_ckpt():
+        from ..checkpoint import save_checkpoint
+
+        cursor = {
+            "t_prev": t_prev_host,
+            "frames": n_frames,
+            "imu_buf": [[t, list(map(float, g)), list(map(float, a))]
+                        for t, g, a in imu_buf],
+            "last_imu_stamp": imu_buf[-1][0] if imu_buf else t_prev_host,
+        }
+        save_checkpoint(checkpoint_path, state, tracker, cursor)
+
     def flush():
-        nonlocal state, tracker
+        nonlocal state, tracker, disp_s
         if not pend:
             return
         n = len(pend)
@@ -503,9 +704,7 @@ def _run_fused(
             stamps[i] = st
             valid[i] = True
         t_disp0 = time.perf_counter()
-        (state, tracker), outs = run_chunk(
-            state,
-            tracker,
+        dev_inputs = (
             jnp.asarray(imgs),
             jnp.asarray(stamps_w, dtype=dtype),
             jnp.asarray(gyr_w, dtype=dtype),
@@ -514,6 +713,10 @@ def _run_fused(
             jnp.asarray(stamps, dtype=dtype),
             jnp.asarray(valid),
         )
+        if n == C and device_ms_per_frame is None:
+            _measure_chunk(dev_inputs)
+            t_disp0 = time.perf_counter()  # exclude calibration from dispatch
+        (state, tracker), outs = run_chunk(state, tracker, *dev_inputs)
         if writer is not None:
             # start device->host copies now; they overlap the next chunk
             for leaf in jax.tree.leaves(outs):
@@ -522,6 +725,7 @@ def _run_fused(
                 except AttributeError:
                     pass
         t_disp = time.perf_counter() - t_disp0
+        disp_s += t_disp
         pend.clear()
         # fetch + write the PREVIOUS chunk while this one computes
         process_deferred()
@@ -529,6 +733,8 @@ def _run_fused(
 
     for meas in server:
         if meas.kind == "imu":
+            if meas.stamp <= skip_imu_until:
+                continue
             gyr, acc = meas.data
             if simimu:
                 sim_imu = sim.get_imu(jnp.asarray(meas.stamp, dtype=dtype))
@@ -549,6 +755,8 @@ def _run_fused(
             continue
         if not initialised:
             continue
+        if meas.stamp <= skip_img_until:
+            continue
         t_asm0 = time.perf_counter()
         (ws, wg, wa, wd), imu_buf = _build_imu_window(
             imu_buf, t_prev_host, meas.stamp, imu_window
@@ -556,8 +764,9 @@ def _run_fused(
         t_prev_host = meas.stamp
         im = np.asarray(meas.data)
         if im.dtype != np.uint8:
-            # round, don't truncate: decoded f32 pixels are k/255 +- eps
-            im = (im * 255.0 + 0.5).astype(np.uint8)
+            # round, don't truncate: decoded f32 pixels are k/255 +- eps;
+            # clip so out-of-range floats can't wrap modulo 256 on the cast
+            im = np.clip(im * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
         pend.append(
             (
                 meas.stamp,
@@ -568,6 +777,13 @@ def _run_fused(
         )
         if len(pend) == C:
             flush()
+            if checkpoint_every and checkpoint_path and (
+                n_frames + (deferred[0][1] if deferred else 0) - last_ckpt_frames
+                >= checkpoint_every
+            ):
+                process_deferred()  # drain so the CSVs cover every saved frame
+                _save_ckpt()
+                last_ckpt_frames = n_frames
         if limit_frames and n_frames + len(pend) + (deferred[0][1] if deferred else 0) >= limit_frames:
             break
     flush()
@@ -580,14 +796,24 @@ def _run_fused(
         writer.flush()
     est = F.state_estimate(state)
     health = {k: bool(v) for k, v in F.health_check(state, settings).items()}
+    done_frames = n_frames - (int(resume_cursor["frames"]) if resume_cursor else 0)
     summary = {
-        "frames": n_frames,
-        "fps": n_frames / max(elapsed, 1e-9),
+        "frames": n_frames,  # total incl. pre-resume frames
+        "fps": done_frames / max(elapsed, 1e-9),
         "final_position": np.asarray(est.sensor.pose.x).tolist(),
         "landmarks": int(np.asarray(est.mask).sum()),
         "nan": health["nan"],
         "healthy": health["nan"] is False and health["scales_valid"],
+        "dispatch_ms_per_frame": round(disp_s * 1e3 / max(done_frames, 1), 3),
+        "fetch_ms_per_frame": round(get_s * 1e3 / max(done_frames, 1), 3),
+        "write_ms_per_frame": round(wr_s * 1e3 / max(done_frames, 1), 3),
     }
+    if device_ms_per_frame is not None:
+        summary["device_ms_per_frame"] = round(device_ms_per_frame, 3)
+    if calib is not None:
+        summary["device_sections_ms"] = {
+            k: round(v * 1e3, 3) for k, v in calib.items()
+        }
     return state, summary
 
 
@@ -614,6 +840,12 @@ def main(argv=None):
     ap.add_argument("--f64", action="store_true",
                     help="f64 filter math even on TPU (accuracy validation; "
                          "the image front end stays f32)")
+    ap.add_argument("--checkpointEvery", type=int, default=0, dest="checkpoint_every",
+                    help="save a resumable checkpoint every ~N frames "
+                         "(to --checkpointPath or <output>/checkpoint.npz)")
+    ap.add_argument("--checkpointPath", default=None, dest="checkpoint_path")
+    ap.add_argument("--resume", default=None,
+                    help="resume from a checkpoint.npz written by --checkpointEvery")
     ap.add_argument("--display", action="store_true", help="accepted for parity; no GUI")
     args = ap.parse_args(argv)
 
@@ -643,6 +875,9 @@ def main(argv=None):
         profile_dir=args.profile,
         dtype=dtype,
         chunk_size=args.chunk,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_path=args.checkpoint_path,
+        resume=args.resume,
     )
     status = "OK" if summary.get("healthy") else "UNHEALTHY (NaN/scale)"
     print(f"Processed {summary['frames']} frames at {summary['fps']:.1f} fps; "

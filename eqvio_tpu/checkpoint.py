@@ -59,7 +59,7 @@ def _unflatten_state(d: dict, dtype=None) -> F.EqFState:
     return F.EqFState(xi0=xi0, X=X, Sigma=g("Sigma"), t=g("t"))
 
 
-def state_to_csv_line(state: F.EqFState, settings: F.Settings | None = None) -> str:
+def state_to_csv_line(state: F.EqFState, settings: F.Settings) -> str:
     """Serialise the filter state to one CSV line: ``[xi0, X, Sigma]``.
 
     Mirrors the reference's ``operator<<(CSVLine&, const VIO_eqf&)``
@@ -75,6 +75,10 @@ def state_to_csv_line(state: F.EqFState, settings: F.Settings | None = None) -> 
 
     Only active landmark slots are written, in slot order, so the line is
     capacity-independent; masked slots of Sigma are dropped accordingly.
+
+    ``settings`` is REQUIRED (not defaulted): in sqrt-covariance mode the
+    state carries the Cholesky factor, and a caller that forgot the flag
+    would otherwise silently serialise the factor as the dense covariance.
     """
     from .io.writer import rotation_to_quaternion as r2q
 
@@ -120,8 +124,8 @@ def state_to_csv_line(state: F.EqFState, settings: F.Settings | None = None) -> 
     )
 
 
-def state_from_csv_line(line: str, capacity: int, dtype=None, t: float = 0.0,
-                        settings: F.Settings | None = None) -> F.EqFState:
+def state_from_csv_line(line: str, capacity: int, settings: F.Settings,
+                        dtype=None, t: float = 0.0) -> F.EqFState:
     """Parse a :func:`state_to_csv_line` line back into an ``EqFState``.
 
     Landmarks land in slots ``0..N-1`` of a ``capacity``-slot state; the

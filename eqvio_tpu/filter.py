@@ -752,9 +752,15 @@ def process_vision(
     camera,
     settings: Settings,
     suite: CoordinateSuite | None = None,
+    do_update: bool = True,
 ) -> EqFState:
     """Full per-frame vision pipeline (reference ``VIOFilter.cpp:194-241``):
-    remove lost -> outlier rejection -> add new -> EqF update -> prune invalid."""
+    remove lost -> outlier rejection -> add new -> EqF update -> prune invalid.
+
+    ``do_update=False`` stops after the lifecycle/preprocessing stage (no EqF
+    update) — used by the fused-path timing calibration to attribute device
+    time to the reference's "preprocessing" vs "correction" labels.
+    """
     if suite is None:
         suite = settings.suite
 
@@ -771,6 +777,8 @@ def process_vision(
     new = vis_mask & ~state.xi0.mask
     state = add_landmarks(state, pixels, new, ids, camera, settings)
 
+    if not do_update:
+        return state
     state = update_vision(state, pixels, vis_mask, camera, settings, suite)
     state = remove_invalid_landmarks(state, settings)
     return state

@@ -11,6 +11,13 @@ landmark axis:
 - the O(D^2 N) correction ``K (Sigma C^T)^T`` is reduced with ``psum``
   of per-shard outer products.
 
+In square-root mode (``settings.sqrt_covariance``) the state carries the
+lower Cholesky factor L and the update is the Kailath array form: the
+pre-array block ``C L`` (the expensive O(N D^2) product) is computed
+shard-locally over landmark block-rows and assembled with ``all_gather``;
+the small re-triangularising QR runs replicated (it is O((2N+D)^3) but
+sequential — replicating it costs no wall time on a mesh).
+
 For realistic capacities (N <= 128) a single chip wins; this path is the
 scale-out pattern for very large landmark maps and the multi-chip dry-run.
 """
@@ -60,6 +67,9 @@ def sharded_vision_update(mesh: Mesh, settings: F.Settings, camera, axis: str = 
             jnp.repeat(active, 2) > 0, settings.measurement_noise**2, 1.0
         ).astype(dtype)
 
+        if settings.sqrt_covariance:
+            return _sqrt_update(state, C, resid, r_diag)
+
         Sig_cols = Sigma[:, SENSOR_DIM:].reshape(D, N, 3)
 
         def shard_fn(C_full, Sig_cols_shard, resid_full, r_diag_full):
@@ -94,6 +104,57 @@ def sharded_vision_update(mesh: Mesh, settings: F.Settings, camera, axis: str = 
             check_vma=False,
         )(C, Sig_cols, resid, r_diag)
 
+        Sigma_new = Sigma - M
+        Sigma_new = 0.5 * (Sigma_new + Sigma_new.T)
+        return _apply_innovation(state, Gamma, Sigma_new)
+
+    def _sqrt_update(state: F.EqFState, C, resid, r_diag):
+        """Kailath array update with ``C L`` sharded over landmark block-rows.
+
+        Mathematically identical to the sqrt branch of
+        :func:`eqvio_tpu.filter.update_vision`; the pre-array block ``CL``
+        is computed per shard and assembled with ``all_gather``.
+        """
+        xi0, L = state.xi0, state.Sigma  # L: lower Cholesky factor
+        N = xi0.capacity
+        D = xi0.dim()
+        dtype = L.dtype
+        n_loc = N // n_shards
+        m = 2 * N
+
+        L_lm = L[SENSOR_DIM:].reshape(N, 3, D)
+
+        def shard_fn(C_full, L_lm_shard):
+            i = jax.lax.axis_index(axis)
+            C_my = jax.lax.dynamic_slice_in_dim(C_full, i * n_loc, n_loc, axis=0)
+            CL_part = jnp.einsum("iax,ixd->iad", C_my, L_lm_shard).reshape(
+                2 * n_loc, D
+            )
+            return jax.lax.all_gather(CL_part, axis, axis=0, tiled=True)
+
+        CL = shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(axis, None, None)),
+            out_specs=P(),
+            check_vma=False,
+        )(C, L_lm)
+
+        pre = jnp.zeros((m + D, m + D), dtype=dtype)
+        pre = pre.at[:m, :m].set(jnp.diag(jnp.sqrt(r_diag)))
+        pre = pre.at[:m, m:].set(CL)
+        pre = pre.at[m:, m:].set(L)
+        post = F.tria(pre)
+        S_half = post[:m, :m]
+        Kbar = post[m:, :m]
+        L_new = post[m:, m:]
+        Gamma = Kbar @ jax.scipy.linalg.solve_triangular(
+            S_half, resid.reshape(-1), lower=True
+        )
+        return _apply_innovation(state, Gamma, L_new)
+
+    def _apply_innovation(state: F.EqFState, Gamma, Sigma_new):
+        xi0 = state.xi0
         if settings.use_discrete_innovation_lift:
             Delta = suite.lift_innovation_discrete(Gamma, xi0)
         else:
@@ -102,9 +163,7 @@ def sharded_vision_update(mesh: Mesh, settings: F.Settings, camera, axis: str = 
             Delta = group_exp(suite.lift_innovation(Gamma, xi0))
         from ..group import group_mul, group_normalize
 
-        X_new = group_normalize(group_mul(Delta, X))
-        Sigma_new = Sigma - M
-        Sigma_new = 0.5 * (Sigma_new + Sigma_new.T)
+        X_new = group_normalize(group_mul(Delta, state.X))
         Sigma_new = F.sanitize_sigma(Sigma_new, xi0, settings)
         return state._replace(X=X_new, Sigma=Sigma_new)
 

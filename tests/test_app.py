@@ -108,6 +108,45 @@ def test_run_opt_fused_matches_per_frame(synthetic_dataset, tmp_path):
     np.testing.assert_allclose(a, b, atol=1e-9)
 
 
+def test_run_opt_checkpoint_resume(synthetic_dataset, tmp_path):
+    """Kill a run mid-sequence, resume from its checkpoint, and get the
+    IDENTICAL final-state CSV as the uninterrupted run (VERDICT r2 #5:
+    checkpoint/resume as a product feature, not just a library)."""
+    path, _ = synthetic_dataset
+    from eqvio_tpu.app.run_opt import run_dataset
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..", "configs", "config_template.yaml"))
+    cfg["GIFT"]["maxFeatures"] = 12
+    cfg["GIFT"]["winSize"] = 15
+
+    out_full = str(tmp_path / "full")
+    out_a = str(tmp_path / "part_a")
+    out_b = str(tmp_path / "part_b")
+
+    # uninterrupted
+    run_dataset(path, cfg, output_dir=out_full, chunk_size=8, limit_frames=32)
+    # interrupted at ~16 frames (2 chunks), checkpointing every 16
+    run_dataset(
+        path, cfg, output_dir=out_a, chunk_size=8, limit_frames=16,
+        checkpoint_every=16,
+    )
+    ckpt = os.path.join(out_a, "checkpoint.npz")
+    assert os.path.exists(ckpt)
+    # resumed to the same total frame count
+    _, summary = run_dataset(
+        path, cfg, output_dir=out_b, chunk_size=8, limit_frames=32, resume=ckpt,
+    )
+    assert summary["frames"] == 32
+
+    full = np.genfromtxt(os.path.join(out_full, "IMUState.csv"), delimiter=",", skip_header=1)
+    a = np.genfromtxt(os.path.join(out_a, "IMUState.csv"), delimiter=",", skip_header=1)
+    b = np.genfromtxt(os.path.join(out_b, "IMUState.csv"), delimiter=",", skip_header=1)
+    # part A wrote the first 16 frames, part B the rest; stitched == full
+    stitched = np.vstack([a[:16], b])
+    assert stitched.shape == full.shape
+    np.testing.assert_allclose(stitched, full, atol=1e-12)
+
+
 def test_run_opt_simvis(synthetic_dataset, tmp_path):
     """--simvis path: real IMU + simulated vision around ground truth."""
     path, sim = synthetic_dataset

@@ -98,9 +98,10 @@ def test_csv_line_roundtrip():
     Sigma = jnp.asarray(M @ M.T + np.eye(D))
     state = F.EqFState(xi0=xi0, X=X, Sigma=Sigma, t=jnp.asarray(1.5))
 
-    line = state_to_csv_line(state)
+    settings = F.Settings()
+    line = state_to_csv_line(state, settings)
     # parse back at a LARGER capacity: active content must be preserved
-    st2 = state_from_csv_line(line, capacity=n + 3)
+    st2 = state_from_csv_line(line, capacity=n + 3, settings=settings)
     assert int(st2.xi0.mask.sum()) == n_active
     np.testing.assert_array_equal(
         np.asarray(st2.xi0.ids[:n_active]), np.asarray(xi0.ids[:n_active])

@@ -49,6 +49,52 @@ def test_sharded_vision_update_matches_reference():
     np.testing.assert_allclose(np.asarray(out.X.Q.a), np.asarray(ref.X.Q.a), atol=1e-10)
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])
+def test_sharded_sqrt_update_matches_reference(dtype):
+    """Square-root mode + landmark-sharded update == local sqrt update.
+
+    Guards the production-numerics (f32 + sqrt, auto-enabled in run_opt)
+    against the scale-out path: the Kailath array QR with its ``C L``
+    pre-array block assembled over landmark shards must match the local
+    factor bit-for-bit-ish."""
+    rng = np.random.default_rng(22)
+    cam = default_sim_camera(dtype)
+    settings = F.Settings(measurement_noise=0.5, sqrt_covariance=True)
+    N = 16
+    xi0 = reasonable_state(rng, N, n_active=12)
+    xi0 = jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype.kind == "f" else a, xi0
+    )
+    state = F.init_state(settings, N, dtype)
+    state = state._replace(xi0=xi0)
+
+    pix_true, _ = S.measure_system(xi0, cam)
+    pixels = (pix_true + jnp.asarray(rng.normal(size=(N, 2)) * 0.5)).astype(dtype)
+    vis = jnp.asarray(np.concatenate([np.ones(12, bool), np.zeros(4, bool)]))
+
+    ref = F.update_vision(state, pixels, vis, cam, settings)
+
+    mesh = make_mesh({"lm": 8})
+    upd = sharded_vision_update(mesh, settings, cam)
+    out = jax.jit(upd)(state, pixels, vis)
+
+    tol = 1e-4 if dtype == jnp.float32 else 1e-9
+    np.testing.assert_allclose(np.asarray(out.Sigma), np.asarray(ref.Sigma), atol=tol)
+    np.testing.assert_allclose(np.asarray(out.X.A.R), np.asarray(ref.X.A.R), atol=tol)
+    np.testing.assert_allclose(np.asarray(out.X.Q.a), np.asarray(ref.X.Q.a), atol=tol)
+    # the factor reconstructs the same covariance as the dense-mode update
+    dense = F.Settings(measurement_noise=0.5)
+    ref_dense = F.update_vision(
+        state._replace(Sigma=(state.Sigma @ state.Sigma.T).astype(dtype)),
+        pixels, vis, cam, dense,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.Sigma @ out.Sigma.T),
+        np.asarray(ref_dense.Sigma),
+        atol=(5e-3 if dtype == jnp.float32 else 1e-8),
+    )
+
+
 def test_two_process_distributed_step():
     """A real 2-process jax.distributed run (gloo CPU collectives) of one
     batched VIO frame step over the GLOBAL mesh — the multi-host path that
