@@ -72,6 +72,26 @@ def main():
         "full_filter_frame_ms": round(_time(full, state, imu_win, dts, pixels, vis, ids), 4),
     }
 
+    # square-root covariance mode (the production f32 numerics: QR-based
+    # propagate + Kailath array update — what every TPU run actually executes)
+    settings_sq = F.Settings(**{**settings.__dict__, "sqrt_covariance": True})
+    state_sq = F.init_state(settings_sq, N, dtype)
+    state_sq = F.add_landmarks(state_sq, pixels, vis, ids, cam, settings_sq)
+    upd_sq = jax.jit(lambda s, p, v: F.update_vision(s, p, v, cam, settings_sq, suite))
+    prop_sq = jax.jit(lambda s, w, d: F.propagate_window(s, w, d, settings_sq, suite))
+    full_sq = jax.jit(
+        lambda s, w, d, p, v, i: F.process_vision(
+            F.propagate_window(s, w, d, settings_sq, suite), p, v, i, cam, settings_sq, suite
+        )
+    )
+    results["sqrt_eqf_update_ms_per_frame"] = round(_time(upd_sq, state_sq, pixels, vis), 4)
+    results["sqrt_propagation_window_ms_per_frame"] = round(
+        _time(prop_sq, state_sq, imu_win, dts), 4
+    )
+    results["sqrt_full_filter_frame_ms"] = round(
+        _time(full_sq, state_sq, imu_win, dts, pixels, vis, ids), 4
+    )
+
     # tracker on a VGA-class frame
     tcfg = TrackerConfig(max_features=30, win_size=21, max_level=3, max_error=1e8)
     trk = tracker_init(tcfg, (480, 752))
@@ -114,6 +134,36 @@ def main():
             results["klt_pallas_ms"] = round(_time(klt_p, trk.positions, reps=20), 4)
         except Exception as e:  # noqa: BLE001
             results["klt_pallas_error"] = type(e).__name__
+
+    # single-chip batch scaling: the MEASURABLE scaling curve on one real
+    # device (VERDICT r2 #7 — the virtual multi-device table is
+    # correctness-only).  Aggregate filter fps over B concurrent sequences.
+    try:
+        from eqvio_tpu.runner import build_sim_runner, prepare_sim_inputs
+
+        inputs = prepare_sim_inputs(
+            settings, capacity=N, max_features=30, end_time=10.0,
+            imu_freq=200.0, frame_freq=20.0, num_walls=4, dtype=dtype,
+        )
+        curve = {}
+        for B in (1, 8, 32, 128):
+            run_b = build_sim_runner(
+                settings, inputs, augment_true_landmarks=False,
+                compute_nees=False, batch=(B if B > 1 else None),
+            )
+            res_b = run_b()
+            jax.block_until_ready(res_b.est_position)
+            n_frames = int(res_b.times.shape[0])
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                res_b = run_b()
+                jax.block_until_ready(res_b.est_position)
+                best = min(best, time.perf_counter() - t0)
+            curve[str(B)] = round(B * n_frames / best, 1)
+        results["batch_scaling_fps"] = curve
+    except Exception as e:  # noqa: BLE001
+        results["batch_scaling_error"] = type(e).__name__
 
     print(json.dumps(results))
 

@@ -82,6 +82,42 @@ def camera_from_info(info, dtype=jnp.float64):
     return PinholeCamera.create(fx, fy, cx, cy, w, h, dtype=dtype)
 
 
+def _meta_width(imu_window: int) -> int:
+    """Per-frame packed-meta width: K stamps + 3K gyr + 3K acc + K dts +
+    stamp + valid."""
+    return 8 * imu_window + 2
+
+
+def _out_width(capacity: int) -> int:
+    """Per-frame packed-output width (see ``_pack_outputs``)."""
+    return 33 + 8 * capacity
+
+
+def _unpack_outputs(row: np.ndarray, N: int):
+    """Host-side inverse of the device packing in ``_make_chunk_runner``."""
+    o = 0
+
+    def take(k, shape=None):
+        nonlocal o
+        v = row[o:o + k]
+        o += k
+        return v.reshape(shape) if shape else v
+
+    pR = take(9, (3, 3))
+    px = take(3)
+    vel = take(3)
+    cR = take(9, (3, 3))
+    cx = take(3)
+    bias = take(6)
+    lms = take(3 * N, (N, 3))
+    lids = take(N).astype(np.int64)
+    lmask = take(N) > 0.5
+    fpx = take(2 * N, (N, 2))
+    fids = take(N).astype(np.int64)
+    fvis = take(N) > 0.5
+    return pR, px, vel, cR, cx, bias, lms, lids, lmask, fpx, fids, fvis
+
+
 def _make_chunk_runner(tcfg, settings, suite, camera, imu_window, dtype):
     """One jitted program: scan (tracker -> propagate -> vision update) over a
     fixed-size chunk of frames.  The TPU-native answer to the reference's
@@ -90,6 +126,11 @@ def _make_chunk_runner(tcfg, settings, suite, camera, imu_window, dtype):
 
     Padded tail frames carry ``valid=False`` and pass the carry through
     unchanged, so every chunk has one static shape -> exactly one compile.
+
+    Transfer layout (tunnel RPCs carry a large per-array cost): all non-image
+    inputs pack into ONE [C, 8K+2] array and all 12 per-frame outputs pack
+    into ONE [C, 33+8N] f32 array, so a chunk is exactly two uploads
+    (images uint8 + meta) and one output fetch.
     """
     from ..frontend.tracker import tracker_step as _tracker_step
 
@@ -97,7 +138,13 @@ def _make_chunk_runner(tcfg, settings, suite, camera, imu_window, dtype):
 
     def frame_fn(carry, inp):
         state, tracker = carry
-        img, stamps_w, gyr_w, acc_w, dts, stamp, valid = inp
+        img, meta = inp
+        stamps_w = meta[:K]
+        gyr_w = meta[K:4 * K].reshape(K, 3)
+        acc_w = meta[4 * K:7 * K].reshape(K, 3)
+        dts = meta[7 * K:8 * K]
+        stamp = meta[8 * K]
+        valid = meta[8 * K + 1] > 0.5
         imu_win = IMU(
             stamp=stamps_w,
             gyr=gyr_w,
@@ -130,32 +177,29 @@ def _make_chunk_runner(tcfg, settings, suite, camera, imu_window, dtype):
             lambda a, b: jnp.where(valid, a, b), new_tracker, tracker
         )
         est = F.state_estimate(state)
-        out = (
-            est.sensor.pose.R,
-            est.sensor.pose.x,
-            est.sensor.velocity,
-            est.sensor.camera_offset.R,
-            est.sensor.camera_offset.x,
-            est.sensor.bias,
-            est.landmarks,
-            est.ids,
-            est.mask,
-            pixels,
-            ids,
-            vis,
-        )
+        # pack in the filter dtype so f64 CPU runs keep full CSV precision
+        out = jnp.concatenate([
+            est.sensor.pose.R.reshape(-1).astype(dtype),
+            est.sensor.pose.x.astype(dtype),
+            est.sensor.velocity.astype(dtype),
+            est.sensor.camera_offset.R.reshape(-1).astype(dtype),
+            est.sensor.camera_offset.x.astype(dtype),
+            est.sensor.bias.astype(dtype),
+            est.landmarks.reshape(-1).astype(dtype),
+            est.ids.astype(dtype),
+            est.mask.astype(dtype),
+            pixels.reshape(-1).astype(dtype),
+            ids.astype(dtype),
+            vis.astype(dtype),
+        ])
         return (state, tracker), out
 
-    def run_chunk(state, tracker, imgs_u8, stamps_w, gyr_w, acc_w, dts, stamps, valid):
+    def run_chunk(state, tracker, imgs_u8, meta):
         # frames ship as uint8 (4x less host->device traffic than f32 — the
         # dominant cost behind a tunneled/remote device) and are normalised
         # on device
         imgs = imgs_u8.astype(jnp.float32) * (1.0 / 255.0)
-        return jax.lax.scan(
-            frame_fn,
-            (state, tracker),
-            (imgs, stamps_w, gyr_w, acc_w, dts, stamps, valid),
-        )
+        return jax.lax.scan(frame_fn, (state, tracker), (imgs, meta))
 
     # donate the carry: the previous chunk's state/tracker buffers are dead
     # the moment the next chunk is dispatched
@@ -240,7 +284,7 @@ def run_dataset(
     stop: float | None = None,
     camera_yaml: str | None = None,
     timing: bool = False,
-    imu_window: int = 32,
+    imu_window: int | None = None,
     dtype=jnp.float64,
     limit_frames: int | None = None,
     simvis: bool = False,
@@ -269,6 +313,17 @@ def run_dataset(
     if camera_lag is None:
         camera_lag = float((config.get("main", {}) or {}).get("cameraLag", 0.0))
     reader = create_dataset_reader(mode, dataset_dir, camera_yaml, camera_lag)
+
+    if imu_window is None:
+        # size the padded IMU window to the dataset's IMU-per-frame ratio:
+        # every pad entry is a scan iteration the device still executes
+        # (a no-op by the zero-dt invariant, but not free)
+        ist, fst = reader.imu.stamps, reader.images.stamps
+        if len(ist) > 2 and len(fst) > 2:
+            ratio = float(np.median(np.diff(fst)) / np.median(np.diff(ist)))
+            imu_window = max(8, (int(np.ceil(ratio * 1.25)) + 6) // 4 * 4)
+        else:
+            imu_window = 32
 
     first_stamps = [s[0] for s in (reader.imu.stamps, reader.images.stamps) if len(s)]
     t0_data = float(min(first_stamps)) if first_stamps else 0.0
@@ -582,18 +637,20 @@ def _run_fused(
         stamps, n, outs, t_disp = deferred.pop()
         t_get0 = time.perf_counter()
         if writer is not None:
-            outs = jax.device_get(outs)
+            outs = np.asarray(jax.device_get(outs))
         t_get = time.perf_counter() - t_get0
         get_s += t_get
         t_wr0 = time.perf_counter()
         if writer is not None:
-            (pR, px, vel, cR, cx, bias, lms, lids, lmask, fpx, fids, fvis) = outs
+            N = outs.shape[1] // 8 - 4  # invert _out_width: W = 33 + 8N
             for i in range(n):
+                (pR, px, vel, cR, cx, bias, lms, lids, lmask, fpx, fids, fvis) = \
+                    _unpack_outputs(outs[i], N)
                 writer.write_states(
-                    stamps[i], pR[i], px[i], vel[i], cR[i], cx[i], bias[i],
-                    landmarks=lms[i], landmark_ids=lids[i], landmark_mask=lmask[i],
+                    stamps[i], pR, px, vel, cR, cx, bias,
+                    landmarks=lms, landmark_ids=lids, landmark_mask=lmask,
                 )
-                writer.write_features(stamps[i], fpx[i], fids[i], fvis[i])
+                writer.write_features(stamps[i], fpx, fids, fvis)
         t_wr = time.perf_counter() - t_wr0
         wr_s += t_wr
         if writer is not None and timing:
@@ -616,7 +673,7 @@ def _run_fused(
                 time.sleep(sleep_for)
             rate_mark = time.perf_counter()
 
-    def _measure_chunk(dev_inputs):
+    def _measure_chunk(dev_inputs, host_arrays):
         """Measure fused-chunk device time (and optionally per-stage times)
         by re-running the already-compiled chunk program on state snapshots."""
         nonlocal device_ms_per_frame, calib
@@ -641,7 +698,12 @@ def _run_fused(
         feat_scan, prop_scan, pre_scan, corr_scan = _make_stage_runners(
             tcfg, settings, suite, camera, imu_window, dtype
         )
-        imgs_d, stamps_w_d, gyr_d, acc_d, dts_d, _stamps_d, _valid_d = dev_inputs
+        imgs_np, stamps_w_np, gyr_np, acc_np, dts_np = host_arrays
+        imgs_d = dev_inputs[0]
+        stamps_w_d = jnp.asarray(stamps_w_np, dtype=dtype)
+        gyr_d = jnp.asarray(gyr_np, dtype=dtype)
+        acc_d = jnp.asarray(acc_np, dtype=dtype)
+        dts_d = jnp.asarray(dts_np, dtype=dtype)
 
         def timed(fn, *a):
             jax.block_until_ready(fn(*a))  # compile
@@ -687,14 +749,15 @@ def _run_fused(
         if not pend:
             return
         n = len(pend)
+        K = imu_window
         img0 = pend[0][1]
         imgs = np.zeros((C,) + img0.shape, dtype=np.uint8)
-        stamps_w = np.zeros((C, imu_window))
-        gyr_w = np.zeros((C, imu_window, 3))
-        acc_w = np.zeros((C, imu_window, 3))
-        dts = np.zeros((C, imu_window))
+        stamps_w = np.zeros((C, K))
+        gyr_w = np.zeros((C, K, 3))
+        acc_w = np.zeros((C, K, 3))
+        dts = np.zeros((C, K))
         stamps = np.zeros(C)
-        valid = np.zeros(C, dtype=bool)
+        meta = np.zeros((C, _meta_width(K)))
         for i, (st, im, ws, wg, wa, wd, _asm) in enumerate(pend):
             imgs[i] = im
             stamps_w[i] = ws
@@ -702,28 +765,24 @@ def _run_fused(
             acc_w[i] = wa
             dts[i] = wd
             stamps[i] = st
-            valid[i] = True
+            meta[i, :K] = ws
+            meta[i, K:4 * K] = wg.reshape(-1)
+            meta[i, 4 * K:7 * K] = wa.reshape(-1)
+            meta[i, 7 * K:8 * K] = wd
+            meta[i, 8 * K] = st
+            meta[i, 8 * K + 1] = 1.0
         t_disp0 = time.perf_counter()
-        dev_inputs = (
-            jnp.asarray(imgs),
-            jnp.asarray(stamps_w, dtype=dtype),
-            jnp.asarray(gyr_w, dtype=dtype),
-            jnp.asarray(acc_w, dtype=dtype),
-            jnp.asarray(dts, dtype=dtype),
-            jnp.asarray(stamps, dtype=dtype),
-            jnp.asarray(valid),
-        )
+        dev_inputs = (jnp.asarray(imgs), jnp.asarray(meta, dtype=dtype))
         if n == C and device_ms_per_frame is None:
-            _measure_chunk(dev_inputs)
+            _measure_chunk(dev_inputs, (imgs, stamps_w, gyr_w, acc_w, dts))
             t_disp0 = time.perf_counter()  # exclude calibration from dispatch
         (state, tracker), outs = run_chunk(state, tracker, *dev_inputs)
         if writer is not None:
-            # start device->host copies now; they overlap the next chunk
-            for leaf in jax.tree.leaves(outs):
-                try:
-                    leaf.copy_to_host_async()
-                except AttributeError:
-                    pass
+            # start the device->host copy now; it overlaps the next chunk
+            try:
+                outs.copy_to_host_async()
+            except AttributeError:
+                pass
         t_disp = time.perf_counter() - t_disp0
         disp_s += t_disp
         pend.clear()
