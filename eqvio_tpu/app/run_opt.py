@@ -89,8 +89,9 @@ def _meta_width(imu_window: int) -> int:
 
 
 def _out_width(capacity: int) -> int:
-    """Per-frame packed-output width (see ``_pack_outputs``)."""
-    return 33 + 8 * capacity
+    """Per-frame packed-output width: 33 sensor values + 3N landmarks +
+    N est-ids + N est-mask + 2N pixels + N tracker-ids + N visibility."""
+    return 33 + 9 * capacity
 
 
 def _unpack_outputs(row: np.ndarray, N: int):
@@ -625,16 +626,19 @@ def _run_fused(
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    # one-chunk software pipeline: results of chunk k are fetched and written
-    # while the device computes chunk k+1 (dispatch is async; only
-    # jax.device_get blocks).  deferred = (stamps, n, outs, t_dispatch)
+    # two-chunk software pipeline: the tunnel executes RPCs in order, so a
+    # fetch issued after dispatch(k) also waits for k.  Fetching chunk k-2
+    # just before dispatching chunk k means the async d2h copy (enqueued
+    # right behind execute(k-2)) is already complete — the fetch never
+    # blocks and the device never idles while the host assembles.
+    # deferred = (stamps, n, outs, t_dispatch), FIFO
     deferred: list[tuple] = []
 
     def process_deferred():
         nonlocal n_frames, rate_mark, get_s, wr_s
         if not deferred:
             return
-        stamps, n, outs, t_disp = deferred.pop()
+        stamps, n, outs, t_disp = deferred.pop(0)
         t_get0 = time.perf_counter()
         if writer is not None:
             outs = np.asarray(jax.device_get(outs))
@@ -642,7 +646,7 @@ def _run_fused(
         get_s += t_get
         t_wr0 = time.perf_counter()
         if writer is not None:
-            N = outs.shape[1] // 8 - 4  # invert _out_width: W = 33 + 8N
+            N = (outs.shape[1] - 33) // 9  # invert _out_width: W = 33 + 9N
             for i in range(n):
                 (pR, px, vel, cR, cx, bias, lms, lids, lmask, fpx, fids, fvis) = \
                     _unpack_outputs(outs[i], N)
@@ -771,14 +775,18 @@ def _run_fused(
             meta[i, 7 * K:8 * K] = wd
             meta[i, 8 * K] = st
             meta[i, 8 * K + 1] = 1.0
-        t_disp0 = time.perf_counter()
+        t_up0 = time.perf_counter()
         dev_inputs = (jnp.asarray(imgs), jnp.asarray(meta, dtype=dtype))
+        disp_s += time.perf_counter() - t_up0  # upload portion
         if n == C and device_ms_per_frame is None:
             _measure_chunk(dev_inputs, (imgs, stamps_w, gyr_w, acc_w, dts))
-            t_disp0 = time.perf_counter()  # exclude calibration from dispatch
+        # drain to pipeline depth 2 BEFORE dispatching (see deferred above)
+        while len(deferred) >= 2:
+            process_deferred()
+        t_disp0 = time.perf_counter()
         (state, tracker), outs = run_chunk(state, tracker, *dev_inputs)
         if writer is not None:
-            # start the device->host copy now; it overlaps the next chunk
+            # enqueue the device->host copy right behind this chunk's execute
             try:
                 outs.copy_to_host_async()
             except AttributeError:
@@ -786,8 +794,6 @@ def _run_fused(
         t_disp = time.perf_counter() - t_disp0
         disp_s += t_disp
         pend.clear()
-        # fetch + write the PREVIOUS chunk while this one computes
-        process_deferred()
         deferred.append((stamps.copy(), n, outs, t_disp))
 
     for meas in server:
@@ -836,17 +842,19 @@ def _run_fused(
         )
         if len(pend) == C:
             flush()
+            in_flight = sum(d[1] for d in deferred)
             if checkpoint_every and checkpoint_path and (
-                n_frames + (deferred[0][1] if deferred else 0) - last_ckpt_frames
-                >= checkpoint_every
+                n_frames + in_flight - last_ckpt_frames >= checkpoint_every
             ):
-                process_deferred()  # drain so the CSVs cover every saved frame
+                while deferred:  # drain so the CSVs cover every saved frame
+                    process_deferred()
                 _save_ckpt()
                 last_ckpt_frames = n_frames
-        if limit_frames and n_frames + len(pend) + (deferred[0][1] if deferred else 0) >= limit_frames:
+        if limit_frames and n_frames + len(pend) + sum(d[1] for d in deferred) >= limit_frames:
             break
     flush()
-    process_deferred()
+    while deferred:
+        process_deferred()
 
     elapsed = time.perf_counter() - t_begin
     if profile_dir:

@@ -102,10 +102,31 @@ def test_run_opt_fused_matches_per_frame(synthetic_dataset, tmp_path):
     out_l = str(tmp_path / "legacy")
     run_dataset(path, cfg, output_dir=out_f, chunk_size=8, limit_frames=20)
     run_dataset(path, cfg, output_dir=out_l, chunk_size=1, limit_frames=20)
-    a = np.genfromtxt(os.path.join(out_f, "IMUState.csv"), delimiter=",", skip_header=1)
-    b = np.genfromtxt(os.path.join(out_l, "IMUState.csv"), delimiter=",", skip_header=1)
-    assert a.shape == b.shape
-    np.testing.assert_allclose(a, b, atol=1e-9)
+    # every CSV must match — the fused path packs all outputs into one device
+    # array, and a packing/unpacking misalignment corrupts features/points
+    # while leaving IMUState (the first columns) intact
+    for name in ("IMUState.csv", "features.csv", "points.csv", "bias.csv", "camera.csv"):
+        with open(os.path.join(out_f, name)) as f:
+            a_lines = f.readlines()
+        with open(os.path.join(out_l, name)) as f:
+            b_lines = f.readlines()
+        assert len(a_lines) == len(b_lines), name
+        assert a_lines[0] == b_lines[0], name  # header
+        for la, lb in zip(a_lines[1:], b_lines[1:]):
+            ca = [c.strip() for c in la.split(",") if c.strip()]
+            cb = [c.strip() for c in lb.split(",") if c.strip()]
+            assert len(ca) == len(cb), (name, la[:80], lb[:80])
+            np.testing.assert_allclose(
+                [float(x) for x in ca], [float(x) for x in cb],
+                atol=1e-9, err_msg=name,
+            )
+    a = np.genfromtxt(os.path.join(out_f, "features.csv"), delimiter=",",
+                      skip_header=1, invalid_raise=False)
+    # tracked features must actually appear in the output
+    with open(os.path.join(out_f, "features.csv")) as f:
+        rows = f.readlines()[1:]
+    n_feats = [len([c for c in r.split(",") if c.strip()]) // 3 for r in rows]
+    assert max(n_feats) >= 5, n_feats
 
 
 def test_run_opt_checkpoint_resume(synthetic_dataset, tmp_path):
