@@ -626,19 +626,20 @@ def _run_fused(
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    # two-chunk software pipeline: the tunnel executes RPCs in order, so a
-    # fetch issued after dispatch(k) also waits for k.  Fetching chunk k-2
-    # just before dispatching chunk k means the async d2h copy (enqueued
-    # right behind execute(k-2)) is already complete — the fetch never
-    # blocks and the device never idles while the host assembles.
-    # deferred = (stamps, n, outs, t_dispatch), FIFO
-    deferred: list[tuple] = []
+    # Output fetch runs on a dedicated thread: a ``device_get`` through the
+    # tunnel costs a ~40 ms RPC round trip even when the async d2h copy
+    # (enqueued right behind the chunk's execute) already completed, so the
+    # main loop never blocks on it — it assembles and dispatches while the
+    # fetcher drains completed chunks in FIFO order and writes the CSVs.
+    import queue as _queue
+    import threading
 
-    def process_deferred():
+    fetchq: _queue.Queue = _queue.Queue()
+    fetch_errors: list[Exception] = []
+
+    def _consume(item):
         nonlocal n_frames, rate_mark, get_s, wr_s
-        if not deferred:
-            return
-        stamps, n, outs, t_disp = deferred.pop(0)
+        stamps, n, outs, t_disp = item
         t_get0 = time.perf_counter()
         if writer is not None:
             outs = np.asarray(jax.device_get(outs))
@@ -676,6 +677,28 @@ def _run_fused(
             if sleep_for > 0:
                 time.sleep(sleep_for)
             rate_mark = time.perf_counter()
+
+    def _fetch_worker():
+        while True:
+            item = fetchq.get()
+            try:
+                if item is not None:
+                    _consume(item)
+            except Exception as e:  # noqa: BLE001 — surfaced after join
+                fetch_errors.append(e)
+            finally:
+                fetchq.task_done()
+            if item is None:
+                return
+
+    fetcher = threading.Thread(target=_fetch_worker, daemon=True)
+    fetcher.start()
+    enqueued_frames = n_frames  # main-thread view; n_frames is the fetcher's tally
+
+    def drain():
+        fetchq.join()
+        if fetch_errors:
+            raise fetch_errors[0]
 
     def _measure_chunk(dev_inputs, host_arrays):
         """Measure fused-chunk device time (and optionally per-stage times)
@@ -749,7 +772,7 @@ def _run_fused(
         save_checkpoint(checkpoint_path, state, tracker, cursor)
 
     def flush():
-        nonlocal state, tracker, disp_s
+        nonlocal state, tracker, disp_s, enqueued_frames
         if not pend:
             return
         n = len(pend)
@@ -780,9 +803,6 @@ def _run_fused(
         disp_s += time.perf_counter() - t_up0  # upload portion
         if n == C and device_ms_per_frame is None:
             _measure_chunk(dev_inputs, (imgs, stamps_w, gyr_w, acc_w, dts))
-        # drain to pipeline depth 2 BEFORE dispatching (see deferred above)
-        while len(deferred) >= 2:
-            process_deferred()
         t_disp0 = time.perf_counter()
         (state, tracker), outs = run_chunk(state, tracker, *dev_inputs)
         if writer is not None:
@@ -794,7 +814,8 @@ def _run_fused(
         t_disp = time.perf_counter() - t_disp0
         disp_s += t_disp
         pend.clear()
-        deferred.append((stamps.copy(), n, outs, t_disp))
+        enqueued_frames += n
+        fetchq.put((stamps.copy(), n, outs, t_disp))
 
     for meas in server:
         if meas.kind == "imu":
@@ -842,19 +863,18 @@ def _run_fused(
         )
         if len(pend) == C:
             flush()
-            in_flight = sum(d[1] for d in deferred)
             if checkpoint_every and checkpoint_path and (
-                n_frames + in_flight - last_ckpt_frames >= checkpoint_every
+                enqueued_frames - last_ckpt_frames >= checkpoint_every
             ):
-                while deferred:  # drain so the CSVs cover every saved frame
-                    process_deferred()
+                drain()  # the CSVs must cover every saved frame
                 _save_ckpt()
-                last_ckpt_frames = n_frames
-        if limit_frames and n_frames + len(pend) + sum(d[1] for d in deferred) >= limit_frames:
+                last_ckpt_frames = enqueued_frames
+        if limit_frames and enqueued_frames + len(pend) >= limit_frames:
             break
     flush()
-    while deferred:
-        process_deferred()
+    drain()
+    fetchq.put(None)
+    fetchq.join()
 
     elapsed = time.perf_counter() - t_begin
     if profile_dir:

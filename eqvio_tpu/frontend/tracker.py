@@ -133,16 +133,36 @@ def tracker_step(
 
     # 2. detect new corners away from live tracks
     N = config.max_features
-    cand_pos, cand_valid = detect_features(
-        image,
-        max_features=N,
-        min_dist=config.feature_dist,
-        quality=config.min_harris_quality,
-        border=config.win_size,
-        exclude=positions,
-        exclude_mask=mask,
-        exclude_dist=config.tracked_feature_dist,
-    )
+
+    def _detect(_):
+        return detect_features(
+            image,
+            max_features=N,
+            min_dist=config.feature_dist,
+            quality=config.min_harris_quality,
+            border=config.win_size,
+            exclude=positions,
+            exclude_mask=mask,
+            exclude_dist=config.tracked_feature_dist,
+        )
+
+    if config.feature_search_threshold < 1.0:
+        # GIFT featureSearchThreshold semantics: only look for new corners
+        # when live tracks drop below threshold * maxFeatures.  lax.cond
+        # executes ONLY the taken branch on TPU, so a healthy tracker skips
+        # the whole detector (the most expensive front-end stage) per frame.
+        searching = jnp.sum(mask) < config.feature_search_threshold * N
+        cand_pos, cand_valid = jax.lax.cond(
+            searching,
+            _detect,
+            lambda _: (
+                jnp.zeros((N, 2), dtype=positions.dtype),
+                jnp.zeros((N,), dtype=bool),
+            ),
+            operand=None,
+        )
+    else:
+        cand_pos, cand_valid = _detect(None)
 
     # 3. fill free slots in order with valid candidates
     free = ~mask
@@ -150,11 +170,6 @@ def tracker_step(
     free_slots = jnp.sort(jnp.where(free, k, N))
     cand_idx = jnp.sort(jnp.where(cand_valid, k, N))
     n_assign = jnp.minimum(jnp.sum(free), jnp.sum(cand_valid))
-    if config.feature_search_threshold < 1.0:
-        # skip the top-up while enough tracks survive (static-shape gate:
-        # admission count zeroed instead of skipping the detector dispatch)
-        searching = jnp.sum(mask) < config.feature_search_threshold * N
-        n_assign = jnp.where(searching, n_assign, 0)
     target_slot = jnp.where(k < n_assign, free_slots[k], N)
     src = jnp.clip(cand_idx[k], 0, N - 1)
     new_ids = state.next_id + jnp.arange(N, dtype=jnp.int32)
