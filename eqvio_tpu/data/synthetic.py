@@ -19,19 +19,35 @@ from ..lie import se3_inv, se3_mul, SE3
 from ..sim import Simulator
 
 
-def _render(points_px: np.ndarray, visible: np.ndarray, w: int, h: int, rng) -> np.ndarray:
-    """Render visible points as bright 2-D gaussian blobs + mild noise."""
+def _render(points_px: np.ndarray, visible: np.ndarray, w: int, h: int, rng,
+            amp: np.ndarray | None = None, width: np.ndarray | None = None) -> np.ndarray:
+    """Render visible points as 2-D gaussian blobs + mild noise.
+
+    ``amp``/``width``: per-WORLD-POINT appearance (stable across frames).
+    Identical blobs alias badly under large inter-frame motion — KLT locks
+    onto the wrong neighbour and the filter sees consistent-looking wrong
+    tracks.  Real scenes disambiguate by texture variety; so does this.
+    """
     img = np.zeros((h, w), dtype=np.float32)
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
-    for (x, y), v in zip(points_px, visible):
+    for i, ((x, y), v) in enumerate(zip(points_px, visible)):
         if v and 2 < x < w - 2 and 2 < y < h - 2:
-            x0, x1 = max(0, int(x) - 4), min(w, int(x) + 5)
-            y0, y1 = max(0, int(y) - 4), min(h, int(y) + 5)
-            img[y0:y1, x0:x1] += np.exp(
-                -((xs[y0:y1, x0:x1] - x) ** 2 + (ys[y0:y1, x0:x1] - y) ** 2) / 3.0
+            a = 1.0 if amp is None else float(amp[i])
+            s2 = 3.0 if width is None else float(width[i])
+            r = int(np.ceil(2.5 * np.sqrt(s2 / 2.0))) + 1
+            x0, x1 = max(0, int(x) - r), min(w, int(x) + r + 1)
+            y0, y1 = max(0, int(y) - r), min(h, int(y) + r + 1)
+            img[y0:y1, x0:x1] += a * np.exp(
+                -((xs[y0:y1, x0:x1] - x) ** 2 + (ys[y0:y1, x0:x1] - y) ** 2) / s2
             )
     img += rng.normal(scale=0.01, size=img.shape).astype(np.float32)
     return np.clip(img, 0.0, 1.0)
+
+
+def _point_appearance(num_points: int, seed: int):
+    """Stable per-point blob appearance (amplitude, gaussian width)."""
+    r = np.random.default_rng(seed + 90210)
+    return r.uniform(0.55, 1.25, num_points), r.uniform(1.8, 5.5, num_points)
 
 
 def generate_asl_dataset(
@@ -84,6 +100,7 @@ def generate_asl_dataset(
         os.makedirs(os.path.join(base, sub), exist_ok=True)
 
     rng = np.random.default_rng(seed)
+    amp, blob_w = _point_appearance(num_points, seed)
     t0 = 0.2
 
     # IMU (optionally corrupted at reference-magnitude densities)
@@ -129,7 +146,7 @@ def generate_asl_dataset(
             px = np.asarray(cam.project(pts))
             z = np.asarray(pts)[:, 2]
             vis = (z > 0.1) & (px[:, 0] > 0) & (px[:, 0] < width) & (px[:, 1] > 0) & (px[:, 1] < height)
-            img = _render(px, vis, width, height, rng)
+            img = _render(px, vis, width, height, rng, amp, blob_w)
             name = f"{int(t * 1e9)}.png"
             Image.fromarray((img * 255).astype(np.uint8)).save(
                 os.path.join(base, "cam0", "data", name)
@@ -262,6 +279,7 @@ def generate_uzhfpv_dataset(
 
     os.makedirs(os.path.join(out_dir, "img"), exist_ok=True)
     rng = np.random.default_rng(seed)
+    amp, blob_w = _point_appearance(num_points, seed)
     t0 = 0.2
 
     imu_times = np.arange(t0, end_time, 1.0 / imu_freq)
@@ -314,7 +332,7 @@ def generate_uzhfpv_dataset(
             px = np.asarray(cam.project(pts))
             z = np.asarray(pts)[:, 2]
             vis = (z > 0.1) & (px[:, 0] > 0) & (px[:, 0] < width) & (px[:, 1] > 0) & (px[:, 1] < height)
-            img = _render(px, vis, width, height, rng)
+            img = _render(px, vis, width, height, rng, amp, blob_w)
             name = f"img/image_{i}.png"
             Image.fromarray((img * 255).astype(np.uint8)).save(os.path.join(out_dir, name))
             f.write(f"{i} {t:.9f} {name}\n")
