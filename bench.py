@@ -75,7 +75,7 @@ def bench_full_frame(dtype):
     cfg["GIFT"]["maxFeatures"] = 30
     cfg["GIFT"]["winSize"] = 21
     cfg["eqf"]["initialValue"]["sceneDepth"] = 2.2  # bench-scene median depth
-    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "16"))
 
     def once():
         with tempfile.TemporaryDirectory() as out:
