@@ -208,11 +208,16 @@ def generate_v101_proxy(out_dir: str, end_time: float = 144.0, seed: int = 11):
         intrinsics=EUROC_CAM0_INTRINSICS,
         distortion=EUROC_CAM0_DISTORTION,
         imu_noise={
-            # reference configs/EQVIO_config_EuRoC_stationary.yaml velocityNoise
-            "gyr": 0.000243153572917808,
-            "acc": 0.012438843268295521,
-            "gyrBias": 0.00013372703521098622,
-            "accBias": 0.004462289865453429,
+            # the TRUE sensor noise: ADIS16448 datasheet densities from the
+            # public EuRoC calibration (mav0/imu0/sensor.yaml).  The FILTER
+            # runs with the reference's auto-tuned (pessimistic) velocityNoise
+            # values — the same model/truth mismatch a real run has; injecting
+            # the tuned values instead gave the proxy a 7x-worse-than-real
+            # gyro bias walk whose integral dominated yaw drift.
+            "gyr": 1.6968e-04,
+            "acc": 2.0000e-03,
+            "gyrBias": 1.9393e-05,
+            "accBias": 3.0000e-03,
         },
         gt_freq=100.0,
         num_walls=6,
@@ -381,11 +386,13 @@ def generate_racing_proxy(out_dir: str, end_time: float = 60.0, seed: int = 13):
         intrinsics=UZHFPV_CAM_INTRINSICS,
         distortion=UZHFPV_CAM_DISTORTION,
         imu_noise={
-            # reference configs/EQVIO_config_UZHFPV.yaml velocityNoise
-            "gyr": 0.0011913242870580211,
-            "acc": 3.262345818455677e-05,
-            "gyrBias": 0.00020008996495836354,
-            "accBias": 0.0063404671195099425,
+            # TRUE sensor noise at MEMS-datasheet magnitudes (Snapdragon
+            # Flight class; same rationale as the V1_01 proxy — the filter
+            # keeps the reference's tuned velocityNoise, the sensor does not)
+            "gyr": 3.0e-04,
+            "acc": 2.0e-03,
+            "gyrBias": 4.0e-05,
+            "accBias": 3.0e-03,
         },
         num_walls=6,
         wall_distance=4.0,

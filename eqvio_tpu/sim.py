@@ -66,18 +66,26 @@ def trajectory_poses(kind: str, end_time: float, frequency: float, dtype=jnp.flo
         # hold 3 s, then ramp the time parameter in smoothly
         u = jnp.maximum(0.0, t - 3.0)
         tau = u - 2.0 * (1.0 - jnp.exp(-u / 2.0))
-        scale = 58.56 / 57.63  # exact-length calibration at 144 s
+        # high-frequency "quadrotor jitter" terms: a real MAV's accelerations
+        # peak at 1-2 m/s^2 even at 0.4 m/s mean speed; without them scale
+        # and accel bias are weakly observable (smooth Lissajous accels are
+        # only ~0.3 m/s^2) and the filter trades one for the other
+        scale = 58.56 / 65.14  # exact-length calibration at 144 s
         x = scale * jnp.stack(
             [
-                1.30 * jnp.sin(two_pi * tau / 27.0) + 0.33 * jnp.sin(two_pi * tau / 7.8),
-                1.30 * jnp.sin(two_pi * tau / 22.0 + 1.0) + 0.33 * jnp.cos(two_pi * tau / 9.2),
-                0.35 * jnp.sin(two_pi * tau / 12.0) + 0.12 * jnp.sin(two_pi * tau / 5.3),
+                1.30 * jnp.sin(two_pi * tau / 27.0) + 0.33 * jnp.sin(two_pi * tau / 7.8)
+                + 0.055 * jnp.sin(two_pi * tau / 1.5),
+                1.30 * jnp.sin(two_pi * tau / 22.0 + 1.0) + 0.33 * jnp.cos(two_pi * tau / 9.2)
+                + 0.055 * jnp.sin(two_pi * tau / 1.7 + 0.8),
+                0.35 * jnp.sin(two_pi * tau / 12.0) + 0.12 * jnp.sin(two_pi * tau / 5.3)
+                + 0.04 * jnp.sin(two_pi * tau / 1.9 + 1.7),
             ],
             axis=-1,
         )
-        yaw = 0.9 * jnp.sin(two_pi * tau / 23.0) + 0.35 * jnp.sin(two_pi * tau / 7.0)
-        roll = 0.12 * jnp.sin(two_pi * tau / 4.3)
-        pitch = 0.12 * jnp.cos(two_pi * tau / 5.7)
+        yaw = (0.9 * jnp.sin(two_pi * tau / 23.0) + 0.35 * jnp.sin(two_pi * tau / 7.0)
+               + 0.05 * jnp.sin(two_pi * tau / 1.6))
+        roll = 0.12 * jnp.sin(two_pi * tau / 4.3) + 0.05 * jnp.sin(two_pi * tau / 1.4)
+        pitch = 0.12 * jnp.cos(two_pi * tau / 5.7) + 0.05 * jnp.cos(two_pi * tau / 1.6 + 0.5)
         zero = jnp.zeros_like(t)
         Rz = so3_exp(jnp.stack([zero, zero, yaw], axis=-1))
         Ry = so3_exp(jnp.stack([zero, pitch, zero], axis=-1))
