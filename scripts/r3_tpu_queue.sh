@@ -3,7 +3,9 @@
 # Order = judge priority: v101 proxy accuracy -> bench (BENCH_r03 headline)
 # -> racing proxy. Each step logs to /tmp and tolerates failure of the others.
 cd /root/repo
-export PYTHONPATH=/root/repo
+# NB: do NOT overwrite PYTHONPATH — the baked /root/.axon_site entry is what
+# registers the axon TPU backend; clobbering it breaks JAX_PLATFORMS=axon.
+export PYTHONPATH=/root/repo:${PYTHONPATH}
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 
 echo "[queue] waiting for proxy datasets..."
