@@ -74,7 +74,7 @@ def bench_full_frame(dtype):
     cfg = load_config(os.path.join(os.path.dirname(__file__), "configs", "config_template.yaml"))
     cfg["GIFT"]["maxFeatures"] = 30
     cfg["GIFT"]["winSize"] = 21
-    cfg["eqf"]["initialValue"]["sceneDepth"] = 2.2  # bench-scene median depth
+    cfg["eqf"]["initialValue"]["sceneDepth"] = 4.3  # measured bench-scene start median depth
     chunk = int(os.environ.get("BENCH_CHUNK", "16"))
 
     def once():
