@@ -28,15 +28,16 @@ def configure_runtime(prefer_x64: bool = True, force_x64: bool = False):
     ``assert(!hasNaN())`` (SURVEY.md section 5.3).
     """
     jax.config.update("jax_default_matmul_precision", "float32")
+    # TPU compiles go through a remote tunnel here and cost 15-30 min per
+    # cold program shape; the persistent cache makes warm re-runs ~2 min.
+    # An empty env value falls back to the default rather than disabling it.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or "/root/.jax_cache"
     try:
-        # TPU compiles go through a remote tunnel here and cost 15-30 min per
-        # cold program shape; the persistent cache makes warm re-runs ~2 min.
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"),
-        )
-    except Exception:
-        pass
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception as e:  # pragma: no cover - config key missing in old jax
+        import warnings
+
+        warnings.warn(f"persistent compile cache disabled: {e!r}")
     if os.environ.get("EQVIO_DEBUG_NANS"):
         jax.config.update("jax_debug_nans", True)
     if force_x64 or (prefer_x64 and jax.default_backend() == "cpu"):

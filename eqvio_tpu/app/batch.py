@@ -75,7 +75,15 @@ def run_batch(dataset_list: str, config_path: str, output_root: str, dtype=None,
             if plots:
                 make_report(out_dir, gt, gt_format=gt_format)
 
-    summary = summarise_results(result_files)
+    # merge with any per-sequence results already on disk so a partial rerun
+    # (single-sequence dataset list) updates the roll-up instead of clobbering
+    # it with a completed:1 file
+    import glob
+
+    all_results = sorted(
+        set(result_files) | set(glob.glob(os.path.join(output_root, "*", "results.yaml")))
+    )
+    summary = summarise_results(all_results)
     with open(os.path.join(output_root, "summary.yaml"), "w") as f:
         yaml.safe_dump(summary, f)
     print(f"mean position rmse: {summary['mean position rmse']:.4f} m "

@@ -66,7 +66,13 @@ def _build_imu_window(imu_buf, t_prev, stamp, imu_window):
             arr_gyr[j] = kept[-1][1]
             arr_acc[j] = kept[-1][2]
     arr_stamp[len(kept):] = stamp
-    trimmed = [e for e in imu_buf if e[0] >= stamp - 0.05]
+    # keep every entry still (partially) ahead of the frame: entry j covers
+    # [t_j, t_{j+1}), so it is dead only once its successor's stamp <= stamp.
+    # No fixed horizon — dropped frames / 10 Hz datasets keep full coverage.
+    trimmed = [
+        e for j, e in enumerate(imu_buf)
+        if j + 1 >= len(imu_buf) or imu_buf[j + 1][0] > stamp
+    ]
     return (arr_stamp, arr_gyr, arr_acc, arr_dt), trimmed
 
 

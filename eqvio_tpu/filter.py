@@ -208,6 +208,14 @@ def _sqrt_mask_reset(L: jnp.ndarray, keep_vec: jnp.ndarray, add_diag: jnp.ndarra
 
     The sqrt form of the masked-array covariance surgery (slot add/remove):
     zero the slot rows of L, then re-triangularise with the fresh diagonal.
+
+    Note the hot path never calls this: the fused propagate/update steps
+    absorb the mask surgery into the QRs they already perform
+    (:func:`_sqrt_riccati_step` pre-masks its stacked blocks;
+    :func:`update_vision` widens the Kailath pre-array with the surgery
+    columns), so the sqrt filter runs exactly two QRs per frame.  This
+    standalone form remains for the generic API (``set_landmarks``,
+    checkpoint surgery, the dryrun shard path).
     """
     Lm = L * keep_vec[:, None]
     return tria(jnp.concatenate([Lm, jnp.diag(jnp.sqrt(add_diag))], axis=1))
@@ -305,10 +313,7 @@ def integrate_riccati_fast(
         # zero-dt padded entries must be exact no-ops: bypass the QR
         Sigma = jnp.where(
             jnp.asarray(dt, dtype=dtype) > 0,
-            sanitize_sigma(
-                _sqrt_riccati_step(state, A_exp, Bt, dt, settings, dtype),
-                state.xi0, settings,
-            ),
+            _sqrt_riccati_step(state, A_exp, Bt, dt, settings, dtype),
             state.Sigma,
         )
         return state._replace(Sigma=Sigma)
@@ -326,17 +331,28 @@ def _mask_outer(xi0: VIOState) -> jnp.ndarray:
 
 
 def _sqrt_riccati_step(state, A_exp, Bt, dt, settings: Settings, dtype) -> jnp.ndarray:
-    """Sqrt form of Sigma <- A Sigma A^T + dt (B q B^T + P): one QR over the
-    stacked factor blocks [A L | sqrt(dt) B sqrt(q) | sqrt(dt * p_mask)]."""
+    """Sqrt form of ``Sigma <- mask (A Sigma A^T + dt (B q B^T + P)) mask +
+    pad``: ONE QR over the row-masked stacked factor blocks.
+
+    Row-masking every stacked block zeroes both rows and columns of each
+    Gram contribution, and the pad columns contribute only inactive-slot
+    diagonals, so the QR output is the exact Cholesky factor of the
+    *sanitized* covariance — no follow-up ``sanitize_sigma`` QR.  Combined
+    with the surgery-absorbing update (:func:`update_vision`) the sqrt
+    filter runs exactly two QRs per frame.
+    """
     dt = jnp.asarray(dt, dtype=dtype)
     dt_pos = jnp.maximum(dt, 0.0)
+    mv = _mask_vec(state.xi0)
     q_sqrt = jnp.sqrt(settings.input_gain_diag(dtype))
-    p_diag = settings.state_gain_diag(state.xi0.capacity, dtype) * _mask_vec(state.xi0)
+    p_diag = settings.state_gain_diag(state.xi0.capacity, dtype) * mv
+    pad = (1.0 - mv) * settings.initial_point_var
     stacked = jnp.concatenate(
         [
-            A_exp @ state.Sigma,
-            jnp.sqrt(dt_pos) * (Bt * q_sqrt[None, :]),
+            (A_exp @ state.Sigma) * mv[:, None],
+            jnp.sqrt(dt_pos) * (Bt * q_sqrt[None, :]) * mv[:, None],
             jnp.diag(jnp.sqrt(dt_pos * p_diag)),
+            jnp.diag(jnp.sqrt(pad)),
         ],
         axis=1,
     )
@@ -366,18 +382,22 @@ def integrate_riccati_accurate(
     B_exp = ABexp[:D, D:]
     if settings.sqrt_covariance:
         # Q_in = B_exp diag(q/dt) B_exp^T, P added at dt: reuse the stacked QR
-        # with B_exp/sqrt(dt) in place of sqrt(dt) B
+        # with B_exp/sqrt(dt) in place of sqrt(dt) B; row-masked + padded so
+        # the one QR also sanitizes (see _sqrt_riccati_step)
+        mv = _mask_vec(state.xi0)
         q_sqrt = jnp.sqrt(settings.input_gain_diag(dtype) / dt_safe)
-        p_diag = settings.state_gain_diag(state.xi0.capacity, dtype) * _mask_vec(state.xi0)
+        p_diag = settings.state_gain_diag(state.xi0.capacity, dtype) * mv
+        pad = (1.0 - mv) * settings.initial_point_var
         stacked = jnp.concatenate(
-            [A_exp @ state.Sigma, B_exp * q_sqrt[None, :], jnp.diag(jnp.sqrt(dt_safe * p_diag))],
+            [
+                (A_exp @ state.Sigma) * mv[:, None],
+                (B_exp * q_sqrt[None, :]) * mv[:, None],
+                jnp.diag(jnp.sqrt(dt_safe * p_diag)),
+                jnp.diag(jnp.sqrt(pad)),
+            ],
             axis=1,
         )
-        Sigma = jnp.where(
-            dt > 0,
-            sanitize_sigma(tria(stacked), state.xi0, settings),
-            state.Sigma,
-        )
+        Sigma = jnp.where(dt > 0, tria(stacked), state.Sigma)
         return state._replace(Sigma=Sigma)
     else:
         Q_in = B_exp * (settings.input_gain_diag(dtype) / dt_safe)[None, :] @ B_exp.T
@@ -398,10 +418,7 @@ def integrate_riccati_discrete(
     if settings.sqrt_covariance:
         Sigma = jnp.where(
             jnp.asarray(dt, dtype=dtype) > 0,
-            sanitize_sigma(
-                _sqrt_riccati_step(state, A_d, Bt, dt, settings, dtype),
-                state.xi0, settings,
-            ),
+            _sqrt_riccati_step(state, A_d, Bt, dt, settings, dtype),
             state.Sigma,
         )
         return state._replace(Sigma=Sigma)
@@ -513,12 +530,22 @@ def update_vision(
     camera,
     settings: Settings,
     suite: CoordinateSuite | None = None,
+    surgery: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> EqFState:
     """Masked EqF Kalman update with the block-structured C matrix.
 
     ``C`` has one 2x3 block per landmark (sensor columns are zero, reference
     ``EqFMatrices.cpp:43-82``), so ``C Sigma C^T`` and ``Sigma C^T`` reduce to
     einsums over the landmark axis — MXU-friendly and O(N^2) not O(D^2).
+
+    ``surgery=(keep_vec, add_diag)`` folds the frame's landmark-lifecycle
+    covariance surgery into the update itself: the update runs against
+    ``Sigma' = diag(keep) Sigma diag(keep) + diag(add)``.  In sqrt mode this
+    is absorbed into ONE widened Kailath pre-array ``[[R^1/2, C W], [0, W]]``
+    with ``W = [keep o L, diag(sqrt(add))]`` — no standalone surgery QR, and
+    the post-array factor is automatically the clean Cholesky factor of the
+    sanitized posterior (inactive slots exactly decoupled), so no follow-up
+    ``sanitize_sigma`` QR either.
     """
     if suite is None:
         suite = settings.suite
@@ -544,15 +571,23 @@ def update_vision(
 
     if settings.sqrt_covariance:
         # array square-root update (Kailath pre-/post-array): one QR of
-        #   [[R^1/2, C L], [0, L]]  ->  [[S^1/2, 0], [Sigma C^T S^-T/2, L+]]
+        #   [[R^1/2, C W], [0, W]]  ->  [[S^1/2, 0], [Sigma C^T S^-T/2, L+]]
         # keeps the f32 condition at sqrt of the covariance's
         m = 2 * N
         L = Sigma  # lower Cholesky factor
-        CL = jnp.einsum("iax,ixd->iad", C, L[SENSOR_DIM:].reshape(N, 3, D)).reshape(m, D)
-        pre = jnp.zeros((m + D, m + D), dtype=dtype)
+        if surgery is not None:
+            keep_vec, add_diag = surgery
+            W = jnp.concatenate(
+                [L * keep_vec[:, None], jnp.diag(jnp.sqrt(add_diag))], axis=1
+            )  # [D, 2D] wide factor of the post-surgery covariance
+        else:
+            W = L
+        Wc = W.shape[1]
+        CW = jnp.einsum("iax,ixd->iad", C, W[SENSOR_DIM:].reshape(N, 3, Wc)).reshape(m, Wc)
+        pre = jnp.zeros((m + D, m + Wc), dtype=dtype)
         pre = pre.at[:m, :m].set(jnp.diag(jnp.sqrt(r_diag)))
-        pre = pre.at[:m, m:].set(CL)
-        pre = pre.at[m:, m:].set(L)
+        pre = pre.at[:m, m:].set(CW)
+        pre = pre.at[m:, m:].set(W)
         post = tria(pre)
         S_half = post[:m, :m]
         Kbar = post[m:, :m]
@@ -562,6 +597,9 @@ def update_vision(
         )
         Sigma_new = L_new
     else:
+        if surgery is not None:
+            keep_vec, add_diag = surgery
+            Sigma = Sigma * keep_vec[:, None] * keep_vec[None, :] + jnp.diag(add_diag)
         Sig_lm = Sigma[SENSOR_DIM:, SENSOR_DIM:].reshape(N, 3, N, 3)
         S = jnp.einsum("iax,ixjy,jby->iajb", C, Sig_lm, C).reshape(2 * N, 2 * N)
         S = S + jnp.diag(r_diag)
@@ -583,7 +621,10 @@ def update_vision(
         Delta = group_exp(suite.lift_innovation(Gamma, xi0))
 
     X_new = group_normalize(group_mul(Delta, X))
-    Sigma_new = sanitize_sigma(Sigma_new, xi0, settings)
+    if not (settings.sqrt_covariance and surgery is not None):
+        # with fused surgery the sqrt post-array is already the clean factor
+        # of the sanitized posterior; otherwise sanitize as before
+        Sigma_new = sanitize_sigma(Sigma_new, xi0, settings)
     return state._replace(X=X_new, Sigma=Sigma_new)
 
 
@@ -617,13 +658,17 @@ def remove_invalid_landmarks(state: EqFState, settings: Settings) -> EqFState:
     return remove_landmarks(state, bad & state.xi0.mask, settings)
 
 
-def median_scene_depth(state: EqFState, settings: Settings) -> jnp.ndarray:
+def median_scene_depth(
+    state: EqFState, settings: Settings, mask: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Masked median depth of the current estimate (reference ``VIOFilter.cpp:366-380``)."""
     xi_hat = state_estimate(state)
+    if mask is None:
+        mask = xi_hat.mask
     d2 = jnp.sum(xi_hat.landmarks**2, axis=-1)
     big = jnp.asarray(1e30, dtype=d2.dtype)
-    d2_sorted = jnp.sort(jnp.where(xi_hat.mask, d2, big))
-    n_active = jnp.sum(xi_hat.mask)
+    d2_sorted = jnp.sort(jnp.where(mask, d2, big))
+    n_active = jnp.sum(mask)
     idx = jnp.clip(n_active // 2, 0, xi_hat.capacity - 1)
     med = jnp.sqrt(d2_sorted[idx])
     return jnp.where(n_active > 0, med, settings.initial_scene_depth)
@@ -760,28 +805,83 @@ def process_vision(
     ``do_update=False`` stops after the lifecycle/preprocessing stage (no EqF
     update) — used by the fused-path timing calibration to attribute device
     time to the reference's "preprocessing" vs "correction" labels.
+
+    All of the frame's landmark-lifecycle covariance surgery (lost/outlier/
+    invalid removal + new-slot initialisation) is folded into the update step
+    via ``update_vision(..., surgery=...)`` — in sqrt mode that keeps the
+    filter at exactly two QRs per frame (Riccati + Kailath).  Scale-invalid
+    pruning (reference ``VIO_eqf.cpp:213-223``, applied post-update there)
+    runs at frame entry here: a one-frame timing shift on a rare divergence
+    guard.
     """
     if suite is None:
         suite = settings.suite
+    xi0, X = state.xi0, state.X
+    dtype = state.Sigma.dtype
+    N = xi0.capacity
 
     # slot-id agreement: a reused slot with a different id is lost + new
-    same_id = state.xi0.ids == ids
+    same_id = xi0.ids == ids
     if settings.remove_lost_landmarks:
-        lost = state.xi0.mask & (~vis_mask | ~same_id)
-        state = remove_landmarks(state, lost, settings)
+        vis_tracked = vis_mask & same_id
+        lost = xi0.mask & ~vis_tracked
+    else:
+        vis_tracked = vis_mask
+        lost = jnp.zeros_like(xi0.mask)
+    invalid = ((X.Q.a <= 1e-8) | (X.Q.a > 1e8)) & xi0.mask
 
-    out = outlier_mask(state, pixels, vis_mask, camera, settings, suite)
-    state = remove_landmarks(state, out, settings)
-    vis_mask = vis_mask & ~out
+    out = outlier_mask(state, pixels, vis_tracked, camera, settings, suite)
+    rm = (lost | out | invalid) & xi0.mask
+    kept = xi0.mask & ~rm
+    # new slots: visible, not kept, and not just rejected as outliers
+    new = vis_mask & ~out & ~kept
 
-    new = vis_mask & ~state.xi0.mask
-    state = add_landmarks(state, pixels, new, ids, camera, settings)
+    # --- xi0 / X surgery: masks, ids, landmark origins, Q resets ---
+    depth = (
+        median_scene_depth(state, settings, mask=kept)
+        if settings.use_median_depth
+        else jnp.asarray(settings.initial_scene_depth, dtype=dtype)
+    )
+    q_new = camera.undistort(pixels) * depth
+    dummy = jnp.asarray([0.0, 0.0, 1.0], dtype=dtype)
+    landmarks = jnp.where(
+        new[:, None], q_new, jnp.where(kept[:, None], xi0.landmarks, dummy)
+    )
+    ids_new = jnp.where(new, ids, jnp.where(kept, xi0.ids, -1))
+    xi0_new = xi0._replace(landmarks=landmarks, ids=ids_new, mask=kept | new)
+    eyeN = jnp.broadcast_to(jnp.eye(3, dtype=dtype), X.Q.R.shape)
+    Q = X.Q._replace(
+        R=jnp.where(kept[:, None, None], X.Q.R, eyeN),
+        a=jnp.where(kept, X.Q.a, 1.0),
+    )
+    state = state._replace(xi0=xi0_new, X=X._replace(Q=Q))
+
+    # --- Sigma surgery vectors (applied inside the update) ---
+    keep_vec = jnp.concatenate(
+        [jnp.ones((SENSOR_DIM,), dtype=dtype), jnp.repeat(kept.astype(dtype), 3)]
+    )
+    pv_init = jnp.tile(settings.initial_point_cov_diag(dtype), N).reshape(N, 3)
+    add_lm = jnp.where(
+        new[:, None],
+        pv_init,
+        jnp.where(kept[:, None], 0.0, settings.initial_point_var),
+    )
+    add_diag = jnp.concatenate(
+        [jnp.zeros((SENSOR_DIM,), dtype=dtype), add_lm.reshape(-1)]
+    )
 
     if not do_update:
-        return state
-    state = update_vision(state, pixels, vis_mask, camera, settings, suite)
-    state = remove_invalid_landmarks(state, settings)
-    return state
+        if settings.sqrt_covariance:
+            Sigma = _sqrt_mask_reset(state.Sigma, keep_vec, add_diag)
+        else:
+            Sigma = state.Sigma * keep_vec[:, None] * keep_vec[None, :] + jnp.diag(add_diag)
+        return state._replace(Sigma=Sigma)
+
+    vis_upd = (vis_tracked & kept) | new
+    return update_vision(
+        state, pixels, vis_upd, camera, settings, suite,
+        surgery=(keep_vec, add_diag),
+    )
 
 
 def health_check(state: EqFState, settings: Settings | None = None) -> dict:

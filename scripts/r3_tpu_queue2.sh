@@ -8,7 +8,7 @@ export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 
 # Queue 1's final step appends "racing exit=" to /tmp/queue.log; a stale
 # aborted queue instance already wrote one such line, so wait for the 2nd.
-while [ "$(grep -c 'racing exit=' /tmp/queue.log)" -lt 2 ]; do sleep 10; done
+while [ "$(grep -c 'racing exit=' /tmp/queue.log 2>/dev/null || echo 0)" -lt 2 ]; do sleep 10; done
 
 echo "[queue2] === v101 proxy TPU rerun (tuned sceneDepth) ==="
 rm -rf results/proxy_tpu_f32/v101_proxy

@@ -277,3 +277,30 @@ def test_full_state_mode():
     assert rmse < 0.01
     assert abs(scale - 1.0) < 0.01
     assert not np.isnan(np.asarray(res.nees)).any()
+
+
+def test_imu_window_full_coverage_across_frame_gaps():
+    """No IMU interval may be lost when the inter-frame gap exceeds 50 ms
+    (dropped frames, 10 Hz datasets): the window trim must keep every entry
+    still ahead of the processed frame, not apply a fixed horizon."""
+    from eqvio_tpu.app.run_opt import _build_imu_window
+
+    rng = np.random.default_rng(0)
+    # 100 Hz IMU over 1 s
+    imu_buf = [
+        (0.01 * k, rng.normal(size=3), rng.normal(size=3)) for k in range(100)
+    ]
+    # frames with a 200 ms and a 350 ms gap (both > the old 50 ms horizon)
+    frame_stamps = [0.105, 0.305, 0.655, 0.955]
+    t_prev = 0.005
+    for stamp in frame_stamps:
+        (arr_stamp, _g, _a, arr_dt), imu_buf = _build_imu_window(
+            imu_buf, t_prev, stamp, imu_window=64
+        )
+        # the dt coverage must tile [t_prev, stamp] exactly
+        np.testing.assert_allclose(arr_dt.sum(), stamp - t_prev, atol=1e-12)
+        # padded tail entries are exact no-ops
+        assert np.all(arr_dt >= 0.0)
+        t_prev = stamp
+    # the trimmed buffer still begins at-or-before the last frame
+    assert imu_buf[0][0] <= frame_stamps[-1]
