@@ -32,6 +32,43 @@ REFERENCE_FPS = 500.0  # assumed; the reference commits no timing numbers
 BENCH_DATASET = "/tmp/eqvio_bench_asl"
 BENCH_SECONDS = 30.0
 
+# peak specs per chip generation for utilization reporting (public numbers:
+# dense bf16 FLOP/s and HBM bandwidth).  MFU is computed against the bf16
+# peak even though the filter runs f32-precision matmuls (3-6 bf16 passes),
+# so the reported MFU is a conservative lower bound; method in RESULTS.md.
+CHIP_PEAKS = {  # substring of device_kind -> (peak TFLOP/s, peak HBM GB/s)
+    "v6": (918.0, 1640.0),
+    "v5p": (459.0, 2765.0),
+    "v5e": (197.0, 819.0),
+    "v5": (197.0, 819.0),  # v5 lite variants report as "TPU v5 lite"
+    "v4": (275.0, 1228.0),
+    "v3": (123.0, 900.0),
+    "v2": (45.0, 700.0),
+}
+
+
+def _chip_peaks():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peaks in CHIP_PEAKS.items():
+        if key in kind:
+            return kind, peaks
+    return kind, None
+
+
+def _utilization(flops_per_s, bytes_per_s):
+    """(mfu_pct, hbm_util_pct, device_kind) from achieved rates."""
+    kind, peaks = _chip_peaks()
+    if peaks is None:
+        return None, None, kind
+    peak_f, peak_b = peaks
+    return (
+        round(100.0 * flops_per_s / (peak_f * 1e12), 2),
+        round(100.0 * bytes_per_s / (peak_b * 1e9), 2),
+        kind,
+    )
+
 
 def _ensure_dataset():
     """Generate (once) a hermetic EuRoC-scale ASL tree for the bench."""
@@ -98,7 +135,19 @@ def bench_full_frame(dtype):
         "fetch_ms_per_frame": summary.get("fetch_ms_per_frame"),
         "write_ms_per_frame": summary.get("write_ms_per_frame"),
         "wall_ms_per_frame": round(best * 1e3 / max(summary["frames"], 1), 3),
+        "searched_frame_fraction": summary.get("searched_frame_fraction"),
     }
+    # utilization of the fused chunk program (XLA cost analysis / device time)
+    if summary.get("achieved_gflops"):
+        dev_s = summary["device_ms_per_frame"] * 1e-3
+        mfu, hbm, kind = _utilization(
+            summary["flops_per_frame"] / dev_s, summary["hbm_bytes_per_frame"] / dev_s
+        )
+        decomp["fused_achieved_gflops"] = summary["achieved_gflops"]
+        decomp["fused_achieved_hbm_gbps"] = summary["achieved_hbm_gbps"]
+        decomp["fused_mfu_pct"] = mfu
+        decomp["fused_hbm_util_pct"] = hbm
+        decomp["device_kind"] = kind
     # a benchmark of a NaN run is meaningless — surface health in the JSON
     return summary["frames"] / best, bool(summary.get("healthy", False)), decomp
 
@@ -109,6 +158,9 @@ def main():
 
     # TPU f32 matmuls default to bf16 accumulation — fatal for filter math
     jax.config.update("jax_default_matmul_precision", "float32")
+    # x64 on, arrays f32: enables the f64-island re-triangularisations
+    # (filter.tria) — the production numerics mode
+    jax.config.update("jax_enable_x64", True)
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     except Exception:
@@ -177,6 +229,15 @@ def main():
                 jax.block_until_ready(res_b.est_position)
                 best_b = min(best_b, time.perf_counter() - t0)
             secondary["sim_batch_aggregate_fps"] = round(B * n_frames / best_b, 1)
+            ca = run_b.cost_analysis()
+            if ca and ca.get("flops"):
+                flops_s = float(ca["flops"]) / best_b
+                bytes_s = float(ca.get("bytes accessed", 0.0)) / best_b
+                mfu, hbm, _kind = _utilization(flops_s, bytes_s)
+                secondary["batch_achieved_gflops"] = round(flops_s / 1e9, 2)
+                secondary["batch_achieved_hbm_gbps"] = round(bytes_s / 1e9, 2)
+                secondary["batch_mfu_pct"] = mfu
+                secondary["batch_hbm_util_pct"] = hbm
     except Exception as e:  # noqa: BLE001 — the headline line must still print
         secondary["error"] = type(e).__name__
 

@@ -190,17 +190,40 @@ def _mask_vec(xi0: VIOState) -> jnp.ndarray:
     return jnp.concatenate([jnp.ones((SENSOR_DIM,), dtype=xi0.landmarks.dtype), m])
 
 
+import os as _os
+
+# f64-island re-triangularisation (EQVIO_TRIA=f64, the default): when the
+# filter runs f32, the two per-frame tria calls compute the exact f64 Gram
+# ``G = M M^T`` (f32 products are exact in f64) and its f64 Cholesky factor,
+# downcast to f32.  Measured on the racing proxy (RESULTS.md): raw f32 QRs
+# cost +48% pos RMSE (0.292 vs 0.197 m) — plain Householder rounding enters
+# at the factor's GLOBAL scale and accumulates over ~3600 QRs — while the
+# f64 island recovers the f64-filter result exactly (downcast error is
+# entrywise-relative).  Row equilibration in pure f32 was tried and does NOT
+# help (0.2915 m).  The Cholesky form is used instead of an f64 QR because
+# TPU-emulated f64 QR costs ~35 ms vs ~0.1 ms for Gram+Cholesky at the
+# production shape (scripts/probe_f64_qr.py / probe_f64_chol.py).
+# EQVIO_TRIA=raw restores the plain f32 QR path.
+_TRIA_MODE = _os.environ.get("EQVIO_TRIA", "f64")
+
+
 def tria(M: jnp.ndarray) -> jnp.ndarray:
     """Lower-triangularise: L with L L^T = M M^T and nonnegative diagonal.
 
-    One QR of M^T [K,D] (K >= D) — the workhorse of the square-root filter;
-    lands on the MXU as a tall-skinny QR.
+    f64 path: one QR of M^T [K,D] (K >= D).  f32 path: f64-island
+    Gram+Cholesky (see above) — the same unique factor at f64 backward
+    error, at MXU speed.
     """
+    in_dtype = M.dtype
+    if _TRIA_MODE == "f64" and in_dtype == jnp.float32 and jax.config.jax_enable_x64:
+        M64 = M.astype(jnp.float64)
+        L = jnp.linalg.cholesky(M64 @ M64.T)
+        return L.astype(in_dtype)
     R = jnp.linalg.qr(M.T, mode="r")  # [D, D] upper, M M^T = R^T R
     L = R.T
     sign = jnp.sign(jnp.diagonal(L))
     sign = jnp.where(sign == 0, 1.0, sign)
-    return L * sign[None, :]
+    return (L * sign[None, :]).astype(in_dtype)
 
 
 def _sqrt_mask_reset(L: jnp.ndarray, keep_vec: jnp.ndarray, add_diag: jnp.ndarray) -> jnp.ndarray:

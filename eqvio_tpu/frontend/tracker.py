@@ -53,6 +53,10 @@ class TrackerState(NamedTuple):
     mask: jnp.ndarray  # [N] bool
     next_id: jnp.ndarray  # scalar int32
     pyramid: tuple  # previous frame pyramid
+    # did the last step run the corner detector? (the featureSearchThreshold
+    # cond-gate skips it on healthy frames; surfaced so the app can count the
+    # searched-frame fraction and attribute per-frame device time)
+    searched: jnp.ndarray = jnp.asarray(True)
 
 
 def tracker_init(config: TrackerConfig, image_shape, dtype=jnp.float32) -> TrackerState:
@@ -70,6 +74,7 @@ def tracker_init(config: TrackerConfig, image_shape, dtype=jnp.float32) -> Track
         mask=jnp.zeros((N,), dtype=bool),
         next_id=jnp.asarray(0, dtype=jnp.int32),
         pyramid=pyr,
+        searched=jnp.asarray(True),
     )
 
 
@@ -146,6 +151,7 @@ def tracker_step(
             exclude_dist=config.tracked_feature_dist,
         )
 
+    searching = jnp.asarray(True)
     if config.feature_search_threshold < 1.0:
         # GIFT featureSearchThreshold semantics: only look for new corners
         # when live tracks drop below threshold * maxFeatures.  lax.cond
@@ -183,4 +189,5 @@ def tracker_step(
         mask=mask,
         next_id=state.next_id + n_assign.astype(jnp.int32),
         pyramid=tuple(pyr),
+        searched=searching,
     )

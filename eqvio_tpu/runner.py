@@ -377,6 +377,15 @@ def build_sim_runner(
     def run_scan(state, tracker):
         return jax.lax.scan(frame_step, (state, tracker), (ftimes, idx, dts, frame_ids))
 
+    def _cost(fn, *a):
+        """XLA cost analysis of the jitted whole-sequence program (flops /
+        bytes for utilization reporting; best-effort)."""
+        try:
+            ca = fn.lower(*a).compile().cost_analysis()
+            return dict(ca) if ca else None
+        except Exception:  # noqa: BLE001
+            return None
+
     if batch is None:
         def run() -> SimRunResult:
             (_, _), outs = run_scan(state, tracker)
@@ -384,6 +393,7 @@ def build_sim_runner(
                 return SimRunResult(ftimes, *outs[:8], consistency=tuple(outs[8:]))
             return SimRunResult(ftimes, *outs)
 
+        run.cost_analysis = lambda: _cost(run_scan, state, tracker)
         return run
 
     # batch-of-sequences mode: the whole scan vmapped over B identical
@@ -405,6 +415,7 @@ def build_sim_runner(
             return SimRunResult(ftimes, *outs[:8], consistency=tuple(outs[8:]))
         return SimRunResult(ftimes, *outs)
 
+    run_batch.cost_analysis = lambda: _cost(vrun, states_b, tracker_b)
     return run_batch
 
 

@@ -59,8 +59,9 @@ def main():
         "jax_compilation_cache_dir",
         os.environ.get("JAX_COMPILATION_CACHE_DIR") or "/root/.jax_cache",
     )
-    if args.dtype == "f64":
-        jax.config.update("jax_enable_x64", True)
+    # x64 always on: f32 runs keep f32 arrays but get the f64-island QRs
+    # (filter.tria), matching the production entry points (app/_env.py)
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
