@@ -33,6 +33,12 @@ def _load():
         lib.il_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ]
+        if hasattr(lib, "il_create2"):
+            lib.il_create2.restype = ctypes.c_void_p
+            lib.il_create2.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,
+            ]
         lib.il_next.restype = ctypes.c_int
         lib.il_next.argtypes = [
             ctypes.c_void_p,
@@ -67,14 +73,19 @@ class NativeImageLoader:
     than f32 (normalisation happens on device in the fused chunk program)."""
 
     def __init__(self, paths: list[str], queue_size: int = 16,
-                 max_pixels: int = 4096 * 3072):
+                 max_pixels: int = 4096 * 3072, workers: int | None = None):
         lib = _load()
         if lib is None:
             raise RuntimeError("native image loader unavailable")
         self._lib = lib
         self._paths = [p.encode() for p in paths]
         arr = (ctypes.c_char_p * len(self._paths))(*self._paths)
-        self._handle = lib.il_create(arr, len(self._paths), queue_size)
+        if workers is None:
+            workers = int(os.environ.get("EQVIO_DECODE_THREADS", "2"))
+        if hasattr(lib, "il_create2"):
+            self._handle = lib.il_create2(arr, len(self._paths), queue_size, workers)
+        else:  # older .so without the pool API
+            self._handle = lib.il_create(arr, len(self._paths), queue_size)
         self._buf = np.empty(max_pixels, dtype=np.uint8)
 
     def __iter__(self):

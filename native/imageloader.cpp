@@ -75,78 +75,102 @@ bool decode_png_gray(const char* path, Frame& out) {
     return true;
 }
 
+// Decode POOL with in-order delivery: N workers claim path indices from a
+// shared cursor, decode concurrently, and insert into a reorder buffer the
+// consumer drains strictly in order.  Outstanding frames are bounded by
+// queue_cap so memory stays flat.  On the 2-vCPU hosts the extra workers
+// overlap PNG decode with the python thread's device-RPC waits (GIL
+// released), which is where the fused pipeline loses wall time.
 struct Loader {
     std::vector<std::string> paths;
     size_t queue_cap;
-    std::deque<std::unique_ptr<Frame>> queue;
+    std::deque<std::unique_ptr<Frame>> ready;  // reorder buffer (sparse, by index)
+    size_t next_claim = 0;   // next path index a worker will take
+    size_t next_out = 0;     // next index the consumer needs
     std::mutex mutex;
     std::condition_variable cv_push;
     std::condition_variable cv_pop;
-    std::thread worker;
+    std::vector<std::thread> workers;
     std::atomic<bool> stop{false};
-    bool done = false;
+    int active = 0;
 
-    Loader(std::vector<std::string> p, size_t cap)
-        : paths(std::move(p)), queue_cap(cap) {
-        worker = std::thread([this] { run(); });
+    Loader(std::vector<std::string> p, size_t cap, int nworkers)
+        : paths(std::move(p)), queue_cap(cap < 2 ? 2 : cap) {
+        ready.resize(paths.size());
+        if (nworkers < 1) nworkers = 1;
+        active = nworkers;
+        for (int k = 0; k < nworkers; ++k) {
+            workers.emplace_back([this] { run(); });
+        }
     }
 
     ~Loader() {
         stop = true;
         cv_push.notify_all();
         cv_pop.notify_all();
-        if (worker.joinable()) worker.join();
+        for (auto& w : workers)
+            if (w.joinable()) w.join();
     }
 
     void run() {
-        for (size_t i = 0; i < paths.size() && !stop; ++i) {
+        for (;;) {
+            size_t i;
+            {
+                std::unique_lock<std::mutex> lock(mutex);
+                cv_push.wait(lock, [this] {
+                    return stop || next_claim >= paths.size() ||
+                           next_claim < next_out + queue_cap;
+                });
+                if (stop || next_claim >= paths.size()) break;
+                i = next_claim++;
+            }
             auto frame = std::make_unique<Frame>();
             frame->index = static_cast<int>(i);
             if (!decode_png_gray(paths[i].c_str(), *frame)) {
                 frame->height = frame->width = 0;  // decode failure marker
             }
-            std::unique_lock<std::mutex> lock(mutex);
-            cv_push.wait(lock, [this] { return queue.size() < queue_cap || stop; });
-            if (stop) return;
-            queue.push_back(std::move(frame));
-            cv_pop.notify_one();
+            std::lock_guard<std::mutex> lock(mutex);
+            ready[i] = std::move(frame);
+            cv_pop.notify_all();
         }
         std::lock_guard<std::mutex> lock(mutex);
-        done = true;
-        cv_pop.notify_all();
+        if (--active == 0) cv_pop.notify_all();
+    }
+
+    template <typename CopyFn>
+    int next_impl(int capacity, int* h, int* w, CopyFn copy) {
+        std::unique_lock<std::mutex> lock(mutex);
+        // every claimed index is eventually produced (workers only exit after
+        // inserting), so waiting on ready[next_out] cannot deadlock
+        cv_pop.wait(lock, [this] {
+            return stop || next_out >= paths.size() || ready[next_out] != nullptr;
+        });
+        if (next_out >= paths.size() || !ready[next_out]) return -1;
+        Frame& f = *ready[next_out];
+        *h = f.height;
+        *w = f.width;
+        if (f.height * f.width > capacity) return -2;
+        copy(f);
+        int idx = f.index;
+        ready[next_out].reset();
+        ++next_out;
+        cv_push.notify_all();
+        return idx;
     }
 
     // Returns index, fills out if capacity sufficient; -1 when exhausted,
     // -2 if the provided buffer is too small (frame stays queued).
     int next_u8(unsigned char* out, int capacity, int* h, int* w) {
-        std::unique_lock<std::mutex> lock(mutex);
-        cv_pop.wait(lock, [this] { return !queue.empty() || done || stop; });
-        if (queue.empty()) return -1;
-        Frame& f = *queue.front();
-        *h = f.height;
-        *w = f.width;
-        if (f.height * f.width > capacity) return -2;
-        std::memcpy(out, f.pixels.data(), f.pixels.size());
-        int idx = f.index;
-        queue.pop_front();
-        cv_push.notify_one();
-        return idx;
+        return next_impl(capacity, h, w, [&](Frame& f) {
+            std::memcpy(out, f.pixels.data(), f.pixels.size());
+        });
     }
 
     int next(float* out, int capacity, int* h, int* w) {
-        std::unique_lock<std::mutex> lock(mutex);
-        cv_pop.wait(lock, [this] { return !queue.empty() || done || stop; });
-        if (queue.empty()) return -1;
-        Frame& f = *queue.front();
-        *h = f.height;
-        *w = f.width;
-        if (f.height * f.width > capacity) return -2;
-        const float inv = 1.0f / 255.0f;
-        for (size_t i = 0; i < f.pixels.size(); ++i) out[i] = f.pixels[i] * inv;
-        int idx = f.index;
-        queue.pop_front();
-        cv_push.notify_one();
-        return idx;
+        return next_impl(capacity, h, w, [&](Frame& f) {
+            const float inv = 1.0f / 255.0f;
+            for (size_t i = 0; i < f.pixels.size(); ++i) out[i] = f.pixels[i] * inv;
+        });
     }
 };
 
@@ -156,7 +180,12 @@ extern "C" {
 
 void* il_create(const char** paths, int n, int queue_size) {
     std::vector<std::string> p(paths, paths + n);
-    return new Loader(std::move(p), static_cast<size_t>(queue_size));
+    return new Loader(std::move(p), static_cast<size_t>(queue_size), 2);
+}
+
+void* il_create2(const char** paths, int n, int queue_size, int workers) {
+    std::vector<std::string> p(paths, paths + n);
+    return new Loader(std::move(p), static_cast<size_t>(queue_size), workers);
 }
 
 int il_next(void* handle, float* out, int capacity, int* h, int* w) {
