@@ -121,8 +121,14 @@ def detect_features(
         d2 = jnp.sum((pos[:, None, :] - ex[None, :, :]) ** 2, axis=-1)  # [K2, M]
         clear = jnp.min(d2, axis=1) > exclude_dist**2
         valid = valid & clear
-        # compact the first max_features surviving candidates
-        order = jnp.argsort(~valid, stable=True)  # valid first, score-ordered
+        # compact the first max_features surviving candidates (int32 sort
+        # keys/indices: jnp.argsort emits i64 under x64, which the tunnel's
+        # remote TPU compiler mishandles inside lax.scan)
+        _, order = jax.lax.sort(
+            ((~valid).astype(jnp.int32),
+             jax.lax.iota(jnp.int32, valid.shape[0])),
+            num_keys=1, is_stable=True,
+        )
         pos = pos[order][:max_features]
         valid = valid[order][:max_features]
 

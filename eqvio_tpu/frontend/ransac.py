@@ -40,27 +40,43 @@ def _normalize(pts: jnp.ndarray, mask: jnp.ndarray):
     return (pts - c) * s, s
 
 
+def _constraint_rows(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
+    """Rows of the epipolar constraint ``x2^T F x1 = 0``: ``[..., 9]``."""
+    x1, y1 = p1[..., 0], p1[..., 1]
+    x2, y2 = p2[..., 0], p2[..., 1]
+    one = jnp.ones_like(x1)
+    return jnp.stack(
+        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, one], axis=-1
+    )
+
+
+def _rank2(F: jnp.ndarray) -> jnp.ndarray:
+    """Rank-2 projection of ``F: [K, 3, 3]`` (subtract the smallest singular
+    triplet).  Built from two 3x3 eigh calls instead of ``jnp.linalg.svd``: a
+    batched 3x3 SVD inside lax.scan SIGABRTs the tunnel's remote TPU compiler
+    under x64 (round-4 bisect, scripts/probe_ransac_bisect.py), and the
+    smallest singular pair is exactly the smallest eigenvectors of
+    ``F^T F`` / ``F F^T``.  ``F - u3 (u3^T F v3) v3^T`` equals zeroing
+    ``sigma_3`` (sign-invariant)."""
+    _, Vv = jnp.linalg.eigh(jnp.einsum("kij,kil->kjl", F, F))  # F^T F
+    _, Uu = jnp.linalg.eigh(jnp.einsum("kij,klj->kil", F, F))  # F F^T
+    v3 = Vv[..., 0]
+    u3 = Uu[..., 0]
+    s3 = jnp.einsum("ki,kij,kj->k", u3, F, v3)
+    return F - s3[:, None, None] * u3[:, :, None] * v3[:, None, :]
+
+
 def _eight_point(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     """Batched 8-point fundamental matrices.
 
     ``p1, p2: [K, 8, 2]`` normalised correspondences -> ``F: [K, 3, 3]``
     with rank 2 enforced, satisfying ``x2^T F x1 = 0``.
     """
-    x1, y1 = p1[..., 0], p1[..., 1]
-    x2, y2 = p2[..., 0], p2[..., 1]
-    one = jnp.ones_like(x1)
-    # rows of the epipolar constraint x2^T F x1 = 0, vectorised over [K, 8]
-    A = jnp.stack(
-        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, one], axis=-1
-    )  # [K, 8, 9]
+    A = _constraint_rows(p1, p2)  # [K, 8, 9]
     G = jnp.einsum("kri,krj->kij", A, A)  # [K, 9, 9]
     _, vecs = jnp.linalg.eigh(G)
     f = vecs[..., 0]  # eigenvector of the smallest eigenvalue
-    F = f.reshape(-1, 3, 3)
-    # rank-2 projection (zero the smallest singular value)
-    U, S, Vt = jnp.linalg.svd(F)
-    S = S.at[:, 2].set(0.0)
-    return jnp.einsum("kij,kj,kjl->kil", U, S, Vt)
+    return _rank2(f.reshape(-1, 3, 3))
 
 
 def _sampson(F: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
@@ -113,7 +129,7 @@ def ransac_epipolar_mask(
     """
     N = prev.shape[0]
     K = hypotheses
-    n_tracked = jnp.sum(mask)
+    n_tracked = jnp.sum(mask).astype(jnp.int32)  # i64 under x64 otherwise
 
     # masked Hartley normalisation (conditioning for the 8-point solve)
     p1n, s1 = _normalize(prev, mask)
@@ -121,22 +137,40 @@ def ransac_epipolar_mask(
 
     # sample K draws of 8 distinct tracked indices: random scores, masked out
     # slots pushed to +inf, one argsort per hypothesis
-    scores = jax.random.uniform(key, (K, N))
+    # dtype pinned: under x64, an unpinned uniform defaults to f64, whose
+    # u64 random_bits + f64 bitcast SIGABRT the tunnel's remote TPU compiler
+    # inside lax.scan (round-4 bisect, scripts/probe_fused_bisect.py)
+    scores = jax.random.uniform(key, (K, N), dtype=jnp.float32)
     scores = jnp.where(mask[None, :], scores, jnp.inf)
-    idx = jnp.argsort(scores, axis=-1)[:, :8]  # [K, 8]
+    _, idx = jax.lax.top_k(-scores, 8)  # [K, 8] int32 (argsort gives i64 on x64)
     F = _eight_point(p1n[idx], p2n[idx])
 
     # score all correspondences under all hypotheses; threshold is given in
     # pixels -> convert to normalised units via the isotropic scales
     d2 = _sampson(F, p1n, p2n)  # [K, N] squared normalised Sampson distance
     thr2 = jnp.square(threshold) * s1 * s2  # d^2 scales by s1*s2 (bilinear F)
-    inlier = (d2 < thr2) & mask[None, :]
-    counts = jnp.sum(inlier, axis=-1)
-    best = jnp.argmax(counts)
-    refined = inlier[best]
+
+    # MSAC objective (truncated loss) instead of a raw inlier count: the
+    # count is a cliff under the tight tuned thresholds, making the gate's
+    # output (and downstream accuracy) depend on the hypothesis stream;
+    # the truncated total varies smoothly across hypotheses
+    rho = jnp.where(mask[None, :], jnp.minimum(d2, thr2), 0.0)
+    best = jax.lax.argmax(-jnp.sum(rho, axis=-1), 0, jnp.int32)
+
+    # one local-optimisation pass (LO-RANSAC): refit F on ALL inliers of the
+    # best hypothesis with the same 9x9 eigh machinery, then re-score —
+    # collapses hypothesis-sampling variance to the refit fixed point
+    w = ((d2[best] < thr2) & mask).astype(p1n.dtype)
+    A_all = _constraint_rows(p1n, p2n)  # [N, 9]
+    G2 = jnp.einsum("ni,nj->ij", A_all * w[:, None], A_all)
+    _, vecs2 = jnp.linalg.eigh(G2)
+    F_lo = _rank2(vecs2[:, 0].reshape(1, 3, 3))
+    d2_lo = _sampson(F_lo, p1n, p2n)[0]
+    refined = (d2_lo < thr2) & mask
+    counts_ref = jnp.sum(refined).astype(jnp.int32)
 
     # degenerate-geometry guards: not enough tracks to hypothesise, or the
     # best consensus is too small to be trusted -> leave the mask unchanged
     min_pts = max(int(min_points), 8)
-    usable = (n_tracked >= min_pts) & (counts[best] >= min_inliers)
+    usable = (n_tracked >= min_pts) & (counts_ref >= min_inliers)
     return jnp.where(usable, refined, mask)

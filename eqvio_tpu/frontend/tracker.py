@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .detector import detect_features, equalize_histogram
 from .klt import track_features
@@ -109,7 +110,13 @@ def tracker_step(
     # violate the consensus two-view geometry between previous and current
     # frame; all hypotheses solved in one batched eigendecomposition
     if config.ransac_inlier_threshold > 0:
-        key = jax.random.fold_in(jax.random.PRNGKey(7), state.next_id)
+        # uint32 seed: a python-int seed becomes an i64 random_seed op
+        # under x64, which the tunnel compiler may mishandle in scan.
+        # EQVIO_RANSAC_SEED exists for gate-stability experiments.
+        import os as _os
+
+        _seed = np.uint32(int(_os.environ.get("EQVIO_RANSAC_SEED", "7")))
+        key = jax.random.fold_in(jax.random.PRNGKey(_seed), state.next_id)
         tracked = ransac_epipolar_mask(
             state.positions,
             new_pos,
@@ -126,7 +133,7 @@ def tracker_step(
         big = jnp.asarray(1e9, dtype=flow.dtype)
         fx = jnp.where(tracked, flow[:, 0], big)
         fy = jnp.where(tracked, flow[:, 1], big)
-        n_tr = jnp.sum(tracked)
+        n_tr = jnp.sum(tracked).astype(jnp.int32)  # i64 under x64 otherwise
         med_idx = jnp.clip(n_tr // 2, 0, flow.shape[0] - 1)
         med = jnp.stack([jnp.sort(fx)[med_idx], jnp.sort(fy)[med_idx]])
         dev = jnp.linalg.norm(flow - med, axis=-1)
@@ -175,7 +182,9 @@ def tracker_step(
     k = jnp.arange(N, dtype=jnp.int32)
     free_slots = jnp.sort(jnp.where(free, k, N))
     cand_idx = jnp.sort(jnp.where(cand_valid, k, N))
-    n_assign = jnp.minimum(jnp.sum(free), jnp.sum(cand_valid))
+    n_assign = jnp.minimum(
+        jnp.sum(free).astype(jnp.int32), jnp.sum(cand_valid).astype(jnp.int32)
+    )
     target_slot = jnp.where(k < n_assign, free_slots[k], N)
     src = jnp.clip(cand_idx[k], 0, N - 1)
     new_ids = state.next_id + jnp.arange(N, dtype=jnp.int32)

@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--frames", type=int, default=None,
                     help="limit the number of frames (quick bisection)")
+    ap.add_argument("--noRansac", action="store_true",
+                    help="disable the tracker RANSAC gate (gate-attribution runs)")
     args = ap.parse_args()
 
     import jax
@@ -76,6 +78,10 @@ def main():
         cfg.setdefault("eqf", {}).setdefault("settings", {})[
             "useSqrtCovariance"
         ] = bool(args.sqrt)
+    if args.noRansac:
+        cfg.setdefault("GIFT", {}).setdefault("ransacParams", {})[
+            "inlierThreshold"
+        ] = 0.0
     out = args.out or f"/tmp/proxy_{args.proxy}_{args.dtype}" + (
         "_dense" if args.dense else "_sqrt" if args.sqrt else ""
     )
