@@ -369,3 +369,57 @@ def test_sqrt_covariance_f32_survives_euroc_variances():
     assert not np.any(np.isnan(pos))
     err = np.linalg.norm(pos - np.asarray(res.true_position), axis=-1)
     assert err.max() < 1.0, err.max()
+
+
+def test_process_vision_fused_surgery_matches_legacy_chain():
+    """The round-4 fused-surgery ``process_vision`` (lifecycle covariance
+    surgery folded into the update, scale-invalid pruning at entry) must
+    equal the legacy remove -> add -> update chain when no scale-invalid
+    slots exist, in BOTH covariance modes."""
+    rng = np.random.default_rng(3)
+    cam = default_sim_camera(jnp.float64)
+    N = 10
+
+    for sqrt_mode in (False, True):
+        settings = F.Settings(measurement_noise=0.5, sqrt_covariance=sqrt_mode)
+        suite = settings.suite
+        state = F.init_state(settings, N, jnp.float64)
+        # active slots 0..6 with landmarks in front of the camera
+        pts = jnp.asarray(rng.uniform(-0.5, 0.5, size=(N, 3)) + [0, 0, 4.0])
+        ids0 = jnp.arange(N, dtype=jnp.int64)
+        mask0 = jnp.arange(N) < 7
+        state = F.add_landmarks(
+            state, cam.project(pts), mask0, ids0, cam, settings
+        )
+        # run a couple of updates so Sigma carries real correlations
+        pix = cam.project(pts) + rng.normal(size=(N, 2)) * 0.3
+        state = F.update_vision(state, pix, mask0, cam, settings, suite)
+
+        # measurements: slot 2 lost, slot 3 reused with a new id, slot 8 new
+        vis = mask0.at[2].set(False).at[8].set(True)
+        ids = ids0.at[3].set(103).at[8].set(108)
+        pix2 = cam.project(pts) + rng.normal(size=(N, 2)) * 0.3
+
+        fused = F.process_vision(state, pix2, vis, ids, cam, settings, suite)
+
+        # legacy chain (the pre-round-4 order, reference VIOFilter.cpp:194-241)
+        st = state
+        same_id = st.xi0.ids == ids
+        lost = st.xi0.mask & (~vis | ~same_id)
+        st = F.remove_landmarks(st, lost, settings)
+        out = F.outlier_mask(st, pix2, vis & same_id, cam, settings, suite)
+        st = F.remove_landmarks(st, out, settings)
+        vis2 = vis & ~out
+        new = vis2 & ~st.xi0.mask
+        st = F.add_landmarks(st, pix2, new, ids, cam, settings)
+        st = F.update_vision(st, pix2, vis2 & (st.xi0.mask | new), cam, settings, suite)
+        st = F.remove_invalid_landmarks(st, settings)
+
+        np.testing.assert_array_equal(np.asarray(fused.xi0.mask), np.asarray(st.xi0.mask))
+        np.testing.assert_array_equal(np.asarray(fused.xi0.ids), np.asarray(st.xi0.ids))
+        np.testing.assert_allclose(
+            np.asarray(fused.X.A.x), np.asarray(st.X.A.x), atol=1e-9
+        )
+        Sig_f = np.asarray(F.dense_sigma(fused, settings))
+        Sig_l = np.asarray(F.dense_sigma(st, settings))
+        np.testing.assert_allclose(Sig_f, Sig_l, atol=1e-8), sqrt_mode
