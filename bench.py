@@ -136,6 +136,7 @@ def bench_full_frame(dtype):
         "write_ms_per_frame": summary.get("write_ms_per_frame"),
         "wall_ms_per_frame": round(best * 1e3 / max(summary["frames"], 1), 3),
         "searched_frame_fraction": summary.get("searched_frame_fraction"),
+        "host_ms_per_frame": summary.get("host_ms_per_frame"),
     }
     # utilization of the fused chunk program (XLA cost analysis / device time)
     if summary.get("achieved_gflops"):

@@ -40,10 +40,10 @@ def configure_runtime(prefer_x64: bool = True, force_x64: bool = False):
         warnings.warn(f"persistent compile cache disabled: {e!r}")
     if os.environ.get("EQVIO_DEBUG_NANS"):
         jax.config.update("jax_debug_nans", True)
-    # x64 is enabled on EVERY backend: the filter arrays stay f32 on TPU, but
-    # the square-root filter's two per-frame QRs run as f64 islands
-    # (filter.tria, EQVIO_TRIA=f64 default) — measured to recover the full
-    # f64-filter accuracy on the racing proxy at f32 cost everywhere else.
+    # x64 is enabled on EVERY backend so the optional f64-island tria
+    # (EQVIO_TRIA=f64; accuracy-validation mode, RESULTS.md) can engage;
+    # filter arrays stay f32 on TPU and all hot-path dtypes are pinned
+    # (frontend/) so nothing silently promotes.
     jax.config.update("jax_enable_x64", True)
     if force_x64 or (prefer_x64 and jax.default_backend() == "cpu"):
         return jnp.float64

@@ -192,19 +192,18 @@ def _mask_vec(xi0: VIOState) -> jnp.ndarray:
 
 import os as _os
 
-# f64-island re-triangularisation (EQVIO_TRIA=f64, the default): when the
-# filter runs f32, the two per-frame tria calls compute the exact f64 Gram
-# ``G = M M^T`` (f32 products are exact in f64) and its f64 Cholesky factor,
-# downcast to f32.  Measured on the racing proxy (RESULTS.md): raw f32 QRs
-# cost +48% pos RMSE (0.292 vs 0.197 m) — plain Householder rounding enters
-# at the factor's GLOBAL scale and accumulates over ~3600 QRs — while the
-# f64 island recovers the f64-filter result exactly (downcast error is
-# entrywise-relative).  Row equilibration in pure f32 was tried and does NOT
-# help (0.2915 m).  The Cholesky form is used instead of an f64 QR because
-# TPU-emulated f64 QR costs ~35 ms vs ~0.1 ms for Gram+Cholesky at the
-# production shape (scripts/probe_f64_qr.py / probe_f64_chol.py).
-# EQVIO_TRIA=raw restores the plain f32 QR path.
-_TRIA_MODE = _os.environ.get("EQVIO_TRIA", "f64")
+# Re-triangularisation mode (EQVIO_TRIA):
+#   raw (default): plain f32 QR.  With the two-QR frame structure and the
+#       deterministic tracker, f32-raw matches the f64 filter to <0.001 m
+#       on both committed proxies (RESULTS.md round-4 controlled study);
+#       the round-4 "f64 island fixes f32" result was confounded by the
+#       RANSAC RNG stream and does not survive a controlled rerun.
+#   f64: f64-island Gram+Cholesky (exact f64 Gram of the f32 factor, f64
+#       Cholesky, entrywise downcast).  Numerically the strongest factor
+#       update; costs ~nothing on CPU but ~2 x 25 ms/frame on the tunnel
+#       chip (emulated f64 matmul — bench round 4: device 7 -> 110 ms/f),
+#       so it is an accuracy-validation option, not the production default.
+_TRIA_MODE = _os.environ.get("EQVIO_TRIA", "raw")
 
 
 def tria(M: jnp.ndarray) -> jnp.ndarray:

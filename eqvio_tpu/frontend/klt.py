@@ -88,20 +88,35 @@ def _track_level(img_prev, img_next, pos_prev, guess, win, iters, dtype):
 # ---------------------------------------------------------------------------
 
 
-def _row_selector(y0, fy, H: int, win: int, dtype):
-    """[N, win, H] linear-interpolation row selector."""
-    ys = jax.lax.broadcasted_iota(jnp.int32, (1, win, H), 2)
-    tgt = (y0[:, None, None] + jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1))
-    f = fy[:, None, None].astype(dtype)
-    return (ys == tgt).astype(dtype) * (1 - f) + (ys == tgt + 1).astype(dtype) * f
+def _row_selector(cy, H: int, win: int, dtype):
+    """[N, win, H] linear-interpolation row selector with PER-SAMPLE
+    coordinate clamping — identical semantics to the gather path's
+    ``_bilinear`` (edge replication).  The earlier corner-clip variant
+    SHIFTED whole patches at image borders, which at the coarse pyramid
+    level (where win covers a third of the image) misregistered templates
+    and drove LK into neighbouring basins — the round-4 TPU-vs-CPU
+    accuracy divergence (RESULTS.md)."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, win), 1).astype(dtype)
+    y = jnp.clip(cy[:, None] + j, 0.0, H - 1.001)  # [N, win]
+    y0 = jnp.floor(y).astype(jnp.int32)
+    f = (y - y0).astype(dtype)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H), 2)
+    return (ys == y0[:, :, None]).astype(dtype) * (1 - f[:, :, None]) + (
+        ys == (y0 + 1)[:, :, None]
+    ).astype(dtype) * f[:, :, None]
 
 
-def _col_selector(x0, fx, W: int, win: int, dtype):
-    """[N, W, win] linear-interpolation column selector."""
-    xs = jax.lax.broadcasted_iota(jnp.int32, (1, W, win), 1)
-    tgt = (x0[:, None, None] + jax.lax.broadcasted_iota(jnp.int32, (1, 1, win), 2))
-    f = fx[:, None, None].astype(dtype)
-    return (xs == tgt).astype(dtype) * (1 - f) + (xs == tgt + 1).astype(dtype) * f
+def _col_selector(cx, W: int, win: int, dtype):
+    """[N, W, win] linear-interpolation column selector (per-sample clamp,
+    see ``_row_selector``)."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, win), 1).astype(dtype)
+    x = jnp.clip(cx[:, None] + j, 0.0, W - 1.001)  # [N, win]
+    x0 = jnp.floor(x).astype(jnp.int32)
+    f = (x - x0).astype(dtype)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+    return (xs == x0[:, None, :]).astype(dtype) * (1 - f[:, None, :]) + (
+        xs == (x0 + 1)[:, None, :]
+    ).astype(dtype) * f[:, None, :]
 
 
 def _extract_patches_mxu(img, corner_xy, win: int):
@@ -109,12 +124,8 @@ def _extract_patches_mxu(img, corner_xy, win: int):
     two einsums (row then column interpolation) on the MXU."""
     H, W = img.shape
     dtype = img.dtype
-    cx = jnp.clip(corner_xy[:, 0], 0.0, W - win - 1.001)
-    cy = jnp.clip(corner_xy[:, 1], 0.0, H - win - 1.001)
-    x0 = jnp.floor(cx).astype(jnp.int32)
-    y0 = jnp.floor(cy).astype(jnp.int32)
-    R = _row_selector(y0, cy - y0, H, win, dtype)
-    C = _col_selector(x0, cx - x0, W, win, dtype)
+    R = _row_selector(corner_xy[:, 1].astype(dtype), H, win, dtype)
+    C = _col_selector(corner_xy[:, 0].astype(dtype), W, win, dtype)
     rows = jnp.einsum("niy,yx->nix", R, img)
     return jnp.einsum("nix,nxj->nij", rows, C)
 
@@ -201,6 +212,10 @@ def track_features(
             )
         return p, err
 
+    if mode == "auto":
+        import os as _os
+
+        mode = _os.environ.get("EQVIO_KLT_MODE", "auto")
     if mode == "auto":
         backend = jax.default_backend()
         mode = "mxu" if backend not in ("cpu",) else "gather"
