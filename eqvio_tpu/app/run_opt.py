@@ -661,24 +661,26 @@ def _run_fused(
         jax.profiler.start_trace(profile_dir)
 
     # Output fetch runs on a dedicated thread: a ``device_get`` through the
-    # tunnel costs a ~40 ms RPC round trip even when the async d2h copy
-    # (enqueued right behind the chunk's execute) already completed, so the
-    # main loop never blocks on it — it assembles and dispatches while the
-    # fetcher drains completed chunks in FIFO order and writes the CSVs.
+    # tunnel costs a ~40-90 ms RPC round trip that SERIALISES with compute
+    # (r4 bench: wall = device + dispatch + fetch, no overlap), so chunks are
+    # additionally GROUPED on device — FETCH_GROUP chunk outputs stack into
+    # one array via a jitted stack and ship in ONE RPC, cutting the per-frame
+    # fetch latency by the group factor.  The fetcher drains completed groups
+    # in FIFO order and writes the CSVs.
     import queue as _queue
     import threading
+
+    FETCH_GROUP = 8
+    stack_group = jax.jit(lambda *xs: jnp.stack(xs))
+    group_buf: list = []  # device outs awaiting grouping
+    group_meta: list = []  # (stamps, n, t_disp) per chunk in the group
 
     fetchq: _queue.Queue = _queue.Queue()
     fetch_errors: list[Exception] = []
 
-    def _consume(item):
-        nonlocal n_frames, rate_mark, get_s, wr_s, srch_frames
-        stamps, n, outs, t_disp = item
+    def _consume(stamps, n, outs, t_disp, t_get):
+        nonlocal n_frames, rate_mark, wr_s, srch_frames
         t_get0 = time.perf_counter()
-        if writer is not None:
-            outs = np.asarray(jax.device_get(outs))
-        t_get = time.perf_counter() - t_get0
-        get_s += t_get
         t_wr0 = time.perf_counter()
         searched_flags = []
         if writer is not None:
@@ -725,11 +727,25 @@ def _run_fused(
             rate_mark = time.perf_counter()
 
     def _fetch_worker():
+        nonlocal get_s
         while True:
             item = fetchq.get()
             try:
                 if item is not None:
-                    _consume(item)
+                    payload, metas = item  # payload: [G, C, W] device array
+                    t0 = time.perf_counter()
+                    arr = (
+                        np.asarray(jax.device_get(payload))
+                        if writer is not None else None
+                    )
+                    t_get = time.perf_counter() - t0
+                    get_s += t_get
+                    for i, (stamps_i, n_i, t_disp_i) in enumerate(metas):
+                        _consume(
+                            stamps_i, n_i,
+                            arr[i] if arr is not None else None,
+                            t_disp_i, t_get / len(metas),
+                        )
             except Exception as e:  # noqa: BLE001 — surfaced after join
                 fetch_errors.append(e)
             finally:
@@ -741,7 +757,28 @@ def _run_fused(
     fetcher.start()
     enqueued_frames = n_frames  # main-thread view; n_frames is the fetcher's tally
 
+    _stack_jits: dict = {}
+
+    def _ship_group():
+        """Stack the accumulated chunk outputs on device and enqueue ONE
+        fetch for the whole group."""
+        if not group_buf:
+            return
+        fn = _stack_jits.setdefault(
+            len(group_buf), jax.jit(lambda *xs: jnp.stack(xs))
+        )
+        grouped = fn(*group_buf)
+        if writer is not None:
+            try:
+                grouped.copy_to_host_async()
+            except AttributeError:
+                pass
+        fetchq.put((grouped, group_meta.copy()))
+        group_buf.clear()
+        group_meta.clear()
+
     def drain():
+        _ship_group()
         fetchq.join()
         if fetch_errors:
             raise fetch_errors[0]
@@ -873,17 +910,15 @@ def _run_fused(
             _measure_chunk(dev_inputs, (imgs, stamps_w, gyr_w, acc_w, dts))
         t_disp0 = time.perf_counter()
         (state, tracker), outs = run_chunk(state, tracker, *dev_inputs)
-        if writer is not None:
-            # enqueue the device->host copy right behind this chunk's execute
-            try:
-                outs.copy_to_host_async()
-            except AttributeError:
-                pass
         t_disp = time.perf_counter() - t_disp0
         disp_s += t_disp
         pend.clear()
         enqueued_frames += n
-        fetchq.put((stamps.copy(), n, outs, t_disp))
+        group_buf.append(outs)
+        group_meta.append((stamps.copy(), n, t_disp))
+        if len(group_buf) >= FETCH_GROUP or (limit_rate and limit_rate > 0):
+            # limitRate paces per chunk in the fetcher — don't batch then
+            _ship_group()
 
     _it = iter(server)
     while True:
