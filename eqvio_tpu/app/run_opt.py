@@ -667,11 +667,14 @@ def _run_fused(
     # one array via a jitted stack and ship in ONE RPC, cutting the per-frame
     # fetch latency by the group factor.  The fetcher drains completed groups
     # in FIFO order and writes the CSVs.
+    import os as _os
     import queue as _queue
     import threading
 
-    FETCH_GROUP = 8
-    stack_group = jax.jit(lambda *xs: jnp.stack(xs))
+    # measured r4: grouping is a wash-to-loss on this tunnel (the fetch wall
+    # is compute-wait + per-byte cost, not per-RPC latency) — default 1;
+    # the mechanism stays for genuinely latency-bound links
+    FETCH_GROUP = max(1, int(_os.environ.get("EQVIO_FETCH_GROUP", "1")))
     group_buf: list = []  # device outs awaiting grouping
     group_meta: list = []  # (stamps, n, t_disp) per chunk in the group
 
@@ -732,7 +735,7 @@ def _run_fused(
             item = fetchq.get()
             try:
                 if item is not None:
-                    payload, metas = item  # payload: [G, C, W] device array
+                    payload, metas = item  # [G, C, W] group or [C, W] single
                     t0 = time.perf_counter()
                     arr = (
                         np.asarray(jax.device_get(payload))
@@ -740,6 +743,8 @@ def _run_fused(
                     )
                     t_get = time.perf_counter() - t0
                     get_s += t_get
+                    if arr is not None and arr.ndim == 2:
+                        arr = arr[None]
                     for i, (stamps_i, n_i, t_disp_i) in enumerate(metas):
                         _consume(
                             stamps_i, n_i,
@@ -764,10 +769,13 @@ def _run_fused(
         fetch for the whole group."""
         if not group_buf:
             return
-        fn = _stack_jits.setdefault(
-            len(group_buf), jax.jit(lambda *xs: jnp.stack(xs))
-        )
-        grouped = fn(*group_buf)
+        if len(group_buf) == 1:
+            grouped = group_buf[0]  # ship the [C, W] chunk as-is
+        else:
+            fn = _stack_jits.setdefault(
+                len(group_buf), jax.jit(lambda *xs: jnp.stack(xs))
+            )
+            grouped = fn(*group_buf)
         if writer is not None:
             try:
                 grouped.copy_to_host_async()
