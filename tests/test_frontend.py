@@ -133,6 +133,38 @@ def test_mxu_path_matches_gather(blob_positions):
     np.testing.assert_array_equal(np.asarray(t_m), np.asarray(t_g))
 
 
+def test_mxu_path_matches_gather_at_borders(blob_positions):
+    """The two paths must agree for features whose windows clip the image
+    border — ESPECIALLY at coarse pyramid levels where the window covers a
+    large image fraction.  Round-4 regression guard: the MXU extractor used
+    to SHIFT whole patches at borders (corner clip) instead of clamping per
+    sample, driving LK into neighbouring basins on TPU (RESULTS.md)."""
+    from eqvio_tpu.frontend.klt import track_features
+    from eqvio_tpu.frontend.pyramid import build_pyramid
+
+    shift = np.array([1.6, -1.1])
+    img0 = render_points(blob_positions)
+    H, W = img0.shape
+    img1 = render_points(blob_positions + shift)
+    # 3 levels: at level 2 the image is ~H/4 x W/4, so a 15px window clips
+    # the border for most features
+    pyr0 = build_pyramid(img0, 3)
+    pyr1 = build_pyramid(img1, 3)
+    # features near (but inside) every border + corners
+    m = 9.0
+    border_pts = np.array([
+        [m, H / 2], [W - m, H / 2], [W / 2, m], [W / 2, H - m],
+        [m + 2, m + 2], [W - m - 2, m + 2], [m + 2, H - m - 2],
+        [W - m - 2, H - m - 2],
+    ])
+    pos = jnp.asarray(border_pts)
+    mask = jnp.ones(len(border_pts), dtype=bool)
+    p_g, t_g = track_features(pyr0, pyr1, pos, mask, win=15, mode="gather")
+    p_m, t_m = track_features(pyr0, pyr1, pos, mask, win=15, mode="mxu")
+    np.testing.assert_allclose(np.asarray(p_m), np.asarray(p_g), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(t_m), np.asarray(t_g))
+
+
 def test_feature_search_threshold_gates_topup(blob_positions):
     """With featureSearchThreshold < 1, no new features are admitted while
     enough tracks survive (GIFT featureSearchThreshold semantics)."""
