@@ -54,3 +54,37 @@ def test_pallas_klt_matches_gather_path():
     )(pos, pos)
     d = np.linalg.norm(np.asarray(pal_pos) - np.asarray(ref_pos), axis=-1)
     assert d.max() < 0.1, d
+
+
+def test_pallas_klt_matches_gather_at_borders():
+    """Pallas kernel border semantics == gather path (edge replication):
+    features within one window of every border on a coarse-level-sized
+    image, where the round-4 MXU border bug lived (interpret mode)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from eqvio_tpu.frontend.klt import _bilinear, _track_level
+    from eqvio_tpu.frontend.pallas_klt import klt_track_level_pallas
+    from eqvio_tpu.frontend.pyramid import _blur_downsample
+
+    rng = np.random.default_rng(0)
+    H, W = 60, 80
+    img0 = _blur_downsample(
+        jnp.asarray(rng.uniform(0, 1, (2 * H, 2 * W)).astype(np.float32))
+    )
+    yy, xx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    img1 = _bilinear(img0, jnp.stack([xx - 0.7, yy + 0.4], axis=-1))
+    pts = jnp.asarray(
+        [[6.0, 30.0], [74.0, 30.0], [40.0, 5.0], [40.0, 55.0],
+         [7.0, 7.0], [73.0, 53.0], [40.0, 30.0]], jnp.float32
+    )
+    win, iters = 21, 8
+    pg = jnp.stack(
+        [_track_level(img0, img1, p, p, win, iters, jnp.float32)[0] for p in pts]
+    )
+    pp, _ = klt_track_level_pallas(img0, img1, pts, pts, win=win, iters=iters,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(pp), np.asarray(pg), atol=2e-3)
