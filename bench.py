@@ -123,13 +123,20 @@ def bench_full_frame(dtype):
             return summary, time.perf_counter() - t0
 
     once()  # warm-up / compile
-    best = float("inf")
-    summary = {}
-    for _ in range(3):
+    # median-of-N with spread: tunnel wall times swing 64-75 fps run-to-run
+    # (VERDICT r4 weak #2 — round-over-round claims need variance to be
+    # interpretable); the best-of run hid that entirely
+    reps = max(3, int(os.environ.get("BENCH_REPS", "5")))
+    times, summary = [], {}
+    for _ in range(reps):
         summary, dt = once()
-        best = min(best, dt)
+        times.append(dt)
+    n_frames = max(summary["frames"], 1)
+    fps_reps = sorted(n_frames / t for t in times)
+    best = min(times)
     decomp = {
         "chunk_size": chunk,
+        "fps_reps": [round(v, 1) for v in fps_reps],
         "device_ms_per_frame": summary.get("device_ms_per_frame"),
         "dispatch_ms_per_frame": summary.get("dispatch_ms_per_frame"),
         "fetch_ms_per_frame": summary.get("fetch_ms_per_frame"),
@@ -150,7 +157,71 @@ def bench_full_frame(dtype):
         decomp["fused_hbm_util_pct"] = hbm
         decomp["device_kind"] = kind
     # a benchmark of a NaN run is meaningless — surface health in the JSON
-    return summary["frames"] / best, bool(summary.get("healthy", False)), decomp
+    fps_median = float(np.median(fps_reps))
+    decomp["fps_median"] = round(fps_median, 1)
+    decomp["fps_best"] = round(n_frames / best, 1)
+    return fps_median, bool(summary.get("healthy", False)), decomp
+
+
+def _prior_round_best():
+    """Best committed headline value from previous rounds' BENCH_r*.json —
+    the regression-aware health anchor (VERDICT r4 weak #8)."""
+    import glob
+
+    best = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            v = rec.get("value")
+            if isinstance(v, (int, float)) and (best is None or v > best):
+                best = float(v)
+        except Exception:  # noqa: BLE001 — a malformed record shouldn't kill the bench
+            continue
+    return best
+
+
+def _pallas_tracker_gate():
+    """On-chip equality gate for the Pallas KLT default: compiled Pallas
+    tracking must match the gather reference path to <2e-4 px on a real
+    bench-scene frame pair (incl. borders — the round-4 divergence class).
+    Returns (max_px_diff, ok) or (None, True) off-TPU."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None, True
+    import glob
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from eqvio_tpu.frontend.detector import detect_features
+    from eqvio_tpu.frontend.klt import track_features
+    from eqvio_tpu.frontend.pyramid import build_pyramid
+
+    files = sorted(glob.glob(os.path.join(BENCH_DATASET, "mav0/cam0/data/*.png")))
+    f0 = np.asarray(Image.open(files[40]), dtype=np.float32) / 255.0
+    f1 = np.asarray(Image.open(files[41]), dtype=np.float32) / 255.0
+    pyr0 = build_pyramid(jnp.asarray(f0), 4)
+    pyr1 = build_pyramid(jnp.asarray(f1), 4)
+    pts, mask = detect_features(jnp.asarray(f0), 30, min_dist=20)
+
+    def run(mode):
+        fn = jax.jit(
+            lambda p0, p1, pt: track_features(
+                [*p0], [*p1], pt, mask, win=21, iters=8, mode=mode
+            ),
+            static_argnames=(),
+        )
+        pos, ok = fn(tuple(pyr0), tuple(pyr1), pts)
+        return np.asarray(pos), np.asarray(ok)
+
+    pos_p, ok_p = run("pallas")
+    pos_g, ok_g = run("gather")
+    both = ok_p & ok_g
+    diff = float(np.abs(pos_p - pos_g)[both].max()) if both.any() else 0.0
+    return diff, bool(diff < 2e-4 and (ok_p == ok_g).mean() > 0.9)
 
 
 def main():
@@ -176,6 +247,48 @@ def main():
     full_frame_fps, healthy, decomp = bench_full_frame(dtype)
 
     secondary = dict(decomp)
+
+    # Pallas-KLT on-chip equality gate (the TPU tracker default): must match
+    # the gather reference path at the border-clip cases before the default
+    # is trusted for accuracy runs
+    try:
+        pallas_diff, pallas_ok = _pallas_tracker_gate()
+        if pallas_diff is not None:
+            secondary["pallas_klt_max_px_diff"] = round(pallas_diff, 7)
+            healthy = healthy and pallas_ok
+    except Exception as e:  # noqa: BLE001 — the headline line must still print
+        secondary["pallas_gate_error"] = type(e).__name__
+
+    # regression-aware health (VERDICT r4 weak #8): the median headline must
+    # stay within 15% of the best committed prior round (tunnel spread is
+    # ~±8%, so 15% flags a real regression without tripping on noise)
+    prior = _prior_round_best()
+    if prior:
+        secondary["prior_round_best_fps"] = prior
+        perf_ok = full_frame_fps >= 0.85 * prior
+        secondary["perf_vs_prior_ok"] = bool(perf_ok)
+        healthy = healthy and perf_ok
+
+    # ---- tracker-INCLUSIVE multi-sequence aggregate (VERDICT r4 weak #3) ----
+    try:
+        B_ff = int(os.environ.get("BENCH_FF_BATCH", "8"))
+        if B_ff > 1:
+            from eqvio_tpu.app.run_opt import bench_batch_full_frame
+
+            from eqvio_tpu.io import load_config as _lc
+            cfg_b = _lc(os.path.join(os.path.dirname(__file__), "configs",
+                                     "config_template.yaml"))
+            cfg_b["GIFT"]["maxFeatures"] = 30
+            cfg_b["GIFT"]["winSize"] = 21
+            cfg_b["eqf"]["initialValue"]["sceneDepth"] = 4.3
+            secondary.update(bench_batch_full_frame(
+                BENCH_DATASET, cfg_b, B_ff, dtype=dtype,
+                limit_frames=int(os.environ.get("BENCH_FF_FRAMES", "224")),
+                chunk_size=int(os.environ.get("BENCH_FF_CHUNK", "32")),
+            ))
+            healthy = healthy and secondary.get("full_frame_batch_finite", True)
+    except Exception as e:  # noqa: BLE001
+        secondary["batch_full_frame_error"] = type(e).__name__
 
     # ---- secondary: filter-only + batch aggregate on the sim pipeline ----
     # algorithm switches matching the reference's shipped EuRoC config
@@ -244,10 +357,15 @@ def main():
 
     out = {
         "metric": "full_frame_fps_single_seq",
-        "value": round(full_frame_fps, 1),
+        "value": round(full_frame_fps, 1),  # MEDIAN of BENCH_REPS timed runs
         "unit": "frames/s",
         "vs_baseline": round(full_frame_fps / REFERENCE_FPS, 2),
         "baseline_assumed": True,
+        "value_spread": {
+            "min": secondary.get("fps_reps", [None])[0],
+            "max": secondary.get("fps_reps", [None])[-1],
+            "reps": len(secondary.get("fps_reps", [])),
+        },
         "healthy": healthy,
         "secondary": secondary,
     }

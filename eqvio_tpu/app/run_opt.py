@@ -127,20 +127,9 @@ def _unpack_outputs(row: np.ndarray, N: int):
     return pR, px, vel, cR, cx, bias, searched, lms, lids, lmask, fpx, fids, fvis
 
 
-def _make_chunk_runner(tcfg, settings, suite, camera, imu_window, dtype):
-    """One jitted program: scan (tracker -> propagate -> vision update) over a
-    fixed-size chunk of frames.  The TPU-native answer to the reference's
-    per-frame loop (``main_opt.cpp:178-245``): decode->track->filter are fused
-    into a single device program, host transfers amortised chunk-size times.
-
-    Padded tail frames carry ``valid=False`` and pass the carry through
-    unchanged, so every chunk has one static shape -> exactly one compile.
-
-    Transfer layout (tunnel RPCs carry a large per-array cost): all non-image
-    inputs pack into ONE [C, 8K+2] array and all 12 per-frame outputs pack
-    into ONE [C, 33+8N] f32 array, so a chunk is exactly two uploads
-    (images uint8 + meta) and one output fetch.
-    """
+def _make_frame_fn(tcfg, settings, suite, camera, imu_window, dtype):
+    """The per-frame scan body (tracker -> propagate -> vision update) shared
+    by the single-sequence chunk runner and the batched (vmapped) runner."""
     from ..frontend.tracker import tracker_step as _tracker_step
 
     K = imu_window
@@ -176,7 +165,10 @@ def _make_chunk_runner(tcfg, settings, suite, camera, imu_window, dtype):
         pixels = new_tracker.positions.astype(dtype)
         vis = new_tracker.mask
         ids = new_tracker.ids
-        new_state = F.propagate_window(state, imu_win, dts, settings, suite)
+        # one-QR frame: the Riccati stack feeds the Kailath pre-array directly
+        new_state = F.propagate_window(
+            state, imu_win, dts, settings, suite, wide_factor=True
+        )
         new_state = F.process_vision(
             new_state, pixels, vis, ids, camera, settings, suite
         )
@@ -204,6 +196,25 @@ def _make_chunk_runner(tcfg, settings, suite, camera, imu_window, dtype):
         ])
         return (state, tracker), out
 
+    return frame_fn
+
+
+def _make_chunk_runner(tcfg, settings, suite, camera, imu_window, dtype):
+    """One jitted program: scan (tracker -> propagate -> vision update) over a
+    fixed-size chunk of frames.  The TPU-native answer to the reference's
+    per-frame loop (``main_opt.cpp:178-245``): decode->track->filter are fused
+    into a single device program, host transfers amortised chunk-size times.
+
+    Padded tail frames carry ``valid=False`` and pass the carry through
+    unchanged, so every chunk has one static shape -> exactly one compile.
+
+    Transfer layout (tunnel RPCs carry a large per-array cost): all non-image
+    inputs pack into ONE [C, 8K+2] array and all 12 per-frame outputs pack
+    into ONE [C, 33+8N] f32 array, so a chunk is exactly two uploads
+    (images uint8 + meta) and one output fetch.
+    """
+    frame_fn = _make_frame_fn(tcfg, settings, suite, camera, imu_window, dtype)
+
     def run_chunk(state, tracker, imgs_u8, meta):
         # frames ship as uint8 (4x less host->device traffic than f32 — the
         # dominant cost behind a tunneled/remote device) and are normalised
@@ -214,6 +225,24 @@ def _make_chunk_runner(tcfg, settings, suite, camera, imu_window, dtype):
     # donate the carry: the previous chunk's state/tracker buffers are dead
     # the moment the next chunk is dispatched
     return jax.jit(run_chunk, donate_argnums=(0, 1))
+
+
+def _make_batch_chunk_runner(tcfg, settings, suite, camera, imu_window, dtype):
+    """Batched fused chunk program: vmap the full tracker+filter frame scan
+    over B independent sequence instances (SURVEY §2.9 sequence parallelism,
+    tracker-INCLUSIVE — the reference runs sequences serially,
+    ``run_and_analyse_dataset.py:46-49``).  One chip, B whole pipelines."""
+    frame_fn = _make_frame_fn(tcfg, settings, suite, camera, imu_window, dtype)
+
+    def run_chunk_b(state_b, tracker_b, imgs_u8_b, meta_b):
+        imgs_b = imgs_u8_b.astype(jnp.float32) * (1.0 / 255.0)
+
+        def one(state, tracker, imgs, meta):
+            return jax.lax.scan(frame_fn, (state, tracker), (imgs, meta))
+
+        return jax.vmap(one)(state_b, tracker_b, imgs_b, meta_b)
+
+    return jax.jit(run_chunk_b, donate_argnums=(0, 1))
 
 
 def _make_stage_runners(tcfg, settings, suite, camera, imu_window, dtype):
@@ -280,7 +309,9 @@ def _make_stage_runners(tcfg, settings, suite, camera, imu_window, dtype):
         def scan(state, stamps_w, gyr_w, acc_w, dts, pix_seq, vis_seq, ids_seq):
             def body(st, inp):
                 sw, gw, aw, dt, pix, vis, ids = inp
-                st = F.propagate_window(st, _window(sw, gw, aw), dt, settings, suite)
+                st = F.propagate_window(
+                    st, _window(sw, gw, aw), dt, settings, suite, wide_factor=True
+                )
                 st = F.process_vision(
                     st, pix.astype(dtype), vis, ids, camera, settings, suite,
                     do_update=do_update,
@@ -301,6 +332,61 @@ def _make_stage_runners(tcfg, settings, suite, camera, imu_window, dtype):
         jax.jit(_vision_scan(do_update=False)),
         jax.jit(_vision_scan(do_update=True)),
     )
+
+
+def _setup_from_config(dataset_dir, config, mode="asl", camera_yaml=None,
+                       camera_lag=None, imu_window=None, dtype=jnp.float64):
+    """Shared pipeline setup: reader, settings (with dataset-extrinsics
+    override and the f32->sqrt auto-enable), tracker config, camera, initial
+    filter/tracker states, IMU-window sizing.  Used by :func:`run_dataset`
+    and the batched throughput bench (:func:`bench_batch_full_frame`)."""
+    if camera_lag is None:
+        camera_lag = float((config.get("main", {}) or {}).get("cameraLag", 0.0))
+    reader = create_dataset_reader(mode, dataset_dir, camera_yaml, camera_lag)
+
+    if imu_window is None:
+        # size the padded IMU window to the dataset's IMU-per-frame ratio:
+        # every pad entry is a scan iteration the device still executes
+        # (a no-op by the zero-dt invariant, but not free)
+        ist, fst = reader.imu.stamps, reader.images.stamps
+        if len(ist) > 2 and len(fst) > 2:
+            ratio = float(np.median(np.diff(fst)) / np.median(np.diff(ist)))
+            imu_window = max(8, (int(np.ceil(ratio * 1.25)) + 6) // 4 * 4)
+        else:
+            imu_window = 32
+
+    settings = settings_from_config(config)
+    tcfg = tracker_config_from_config(config)
+
+    # dataset camera extrinsics override the config (main_opt.cpp:143-147)
+    T_BS = reader.camera.T_BS
+    quat = rotation_to_quaternion(T_BS[:3, :3])
+    settings = F.Settings(
+        **{
+            **settings.__dict__,
+            "camera_offset_quat": tuple(quat.tolist()),
+            "camera_offset_pos": tuple(T_BS[:3, 3].tolist()),
+        }
+    )
+    if jnp.dtype(dtype) == jnp.float32 and not settings.sqrt_covariance:
+        # f32 cannot Cholesky the tuned configs' covariance spread (~1e13);
+        # the sqrt filter carries the factor instead (condition = sqrt of the
+        # covariance's).  Auto-enable unless the config asked explicitly.
+        from ..io.config import safe_get
+
+        explicit = safe_get(config.get("eqf", {}) or {},
+                            "settings:useSqrtCovariance", None, warn=False)
+        if explicit is None:
+            settings = F.Settings(**{**settings.__dict__, "sqrt_covariance": True})
+
+    camera = camera_from_info(reader.camera, dtype)
+    capacity = tcfg.max_features
+    w, h = reader.camera.resolution
+
+    state = F.init_state(settings, capacity, dtype)
+    tracker = tracker_init(tcfg, (h, w), dtype=jnp.float32)
+    suite = settings.suite
+    return reader, settings, tcfg, camera, capacity, state, tracker, suite, imu_window
 
 
 def run_dataset(
@@ -338,56 +424,14 @@ def run_dataset(
     uninterrupted run exactly (SURVEY §5.4 — no reference equivalent, the
     closest is one-shot CSV serialisation at ``VIO_eqf.cpp:247``).
     """
-    if camera_lag is None:
-        camera_lag = float((config.get("main", {}) or {}).get("cameraLag", 0.0))
-    reader = create_dataset_reader(mode, dataset_dir, camera_yaml, camera_lag)
-
-    if imu_window is None:
-        # size the padded IMU window to the dataset's IMU-per-frame ratio:
-        # every pad entry is a scan iteration the device still executes
-        # (a no-op by the zero-dt invariant, but not free)
-        ist, fst = reader.imu.stamps, reader.images.stamps
-        if len(ist) > 2 and len(fst) > 2:
-            ratio = float(np.median(np.diff(fst)) / np.median(np.diff(ist)))
-            imu_window = max(8, (int(np.ceil(ratio * 1.25)) + 6) // 4 * 4)
-        else:
-            imu_window = 32
+    reader, settings, tcfg, camera, capacity, state, tracker, suite, imu_window = \
+        _setup_from_config(dataset_dir, config, mode, camera_yaml, camera_lag,
+                           imu_window, dtype)
 
     first_stamps = [s[0] for s in (reader.imu.stamps, reader.images.stamps) if len(s)]
     t0_data = float(min(first_stamps)) if first_stamps else 0.0
     start = t0_data + start if start and start > 0 else None
     stop = t0_data + stop if stop and stop > 0 else None
-    settings = settings_from_config(config)
-    tcfg = tracker_config_from_config(config)
-
-    # dataset camera extrinsics override the config (main_opt.cpp:143-147)
-    T_BS = reader.camera.T_BS
-    quat = rotation_to_quaternion(T_BS[:3, :3])
-    settings = F.Settings(
-        **{
-            **settings.__dict__,
-            "camera_offset_quat": tuple(quat.tolist()),
-            "camera_offset_pos": tuple(T_BS[:3, 3].tolist()),
-        }
-    )
-    if jnp.dtype(dtype) == jnp.float32 and not settings.sqrt_covariance:
-        # f32 cannot Cholesky the tuned configs' covariance spread (~1e13);
-        # the sqrt filter carries the factor instead (condition = sqrt of the
-        # covariance's).  Auto-enable unless the config asked explicitly.
-        from ..io.config import safe_get
-
-        explicit = safe_get(config.get("eqf", {}) or {},
-                            "settings:useSqrtCovariance", None, warn=False)
-        if explicit is None:
-            settings = F.Settings(**{**settings.__dict__, "sqrt_covariance": True})
-
-    camera = camera_from_info(reader.camera, dtype)
-    capacity = tcfg.max_features
-    w, h = reader.camera.resolution
-
-    state = F.init_state(settings, capacity, dtype)
-    tracker = tracker_init(tcfg, (h, w), dtype=jnp.float32)
-    suite = settings.suite
 
     resume_cursor = None
     if resume:
@@ -433,7 +477,9 @@ def run_dataset(
 
     @jax.jit
     def jit_filter(state, imu_win, dts, pixels, vis, ids):
-        state = F.propagate_window(state, imu_win, dts, settings, suite)
+        state = F.propagate_window(
+            state, imu_win, dts, settings, suite, wide_factor=True
+        )
         state = F.process_vision(state, pixels, vis, ids, camera, settings, suite)
         return state
 
@@ -1042,6 +1088,151 @@ def _run_fused(
             k: round(v * 1e3, 3) for k, v in calib.items()
         }
     return state, summary
+
+
+def collect_fused_inputs(dataset_dir, config, limit_frames, mode="asl",
+                         dtype=jnp.float32):
+    """Replay the data-server loop on the host ONCE, returning the fused
+    pipeline's exact per-frame device inputs (uint8 images + packed meta) and
+    the attitude-initialised filter/tracker states.  Feeds the batched
+    throughput bench so its frames are device-resident (the 2-vCPU host and
+    the tunnel are excluded from the measurement by construction)."""
+    (reader, settings, tcfg, camera, capacity, state, tracker, suite,
+     imu_window) = _setup_from_config(dataset_dir, config, mode, dtype=dtype)
+    K = imu_window
+    server = DataServer(reader)
+    imu_buf: list = []
+    initialised = False
+    t_prev = -1.0
+    imgs, metas = [], []
+    for meas in server:
+        if meas.kind == "imu":
+            gyr, acc = meas.data
+            if not initialised:
+                state = F.initialize_attitude_from_imu(
+                    state,
+                    IMU.create(
+                        jnp.asarray(meas.stamp, dtype=dtype),
+                        jnp.asarray(gyr, dtype=dtype),
+                        jnp.asarray(acc, dtype=dtype),
+                    ),
+                )
+                initialised = True
+                t_prev = meas.stamp
+            imu_buf.append((meas.stamp, gyr, acc))
+            continue
+        if not initialised:
+            continue
+        (ws, wg, wa, wd), imu_buf = _build_imu_window(
+            imu_buf, t_prev, meas.stamp, K
+        )
+        t_prev = meas.stamp
+        im = np.asarray(meas.data)
+        if im.dtype != np.uint8:
+            im = np.clip(im * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
+        row = np.zeros(_meta_width(K))
+        row[:K] = ws
+        row[K:4 * K] = wg.reshape(-1)
+        row[4 * K:7 * K] = wa.reshape(-1)
+        row[7 * K:8 * K] = wd
+        row[8 * K] = meas.stamp
+        row[8 * K + 1] = 1.0
+        imgs.append(im)
+        metas.append(row)
+        if len(imgs) >= limit_frames:
+            break
+    return (np.stack(imgs), np.stack(metas), state, tracker,
+            settings, tcfg, camera, suite, K)
+
+
+def bench_batch_full_frame(dataset_dir, config, batch, dtype=jnp.float32,
+                           limit_frames=240, chunk_size=32, noise_seed=7,
+                           reps=3):
+    """Tracker-INCLUSIVE aggregate throughput: B concurrent full pipelines
+    (KLT tracker + EqF filter) vmapped in one device program over
+    device-resident frames.
+
+    Each sequence instance gets independent uint8 pixel noise, so tracking,
+    lifecycle and filter work genuinely diverge per instance — this is B real
+    pipelines, not one pipeline broadcast.  The reference runs sequences
+    serially on a CPU (``run_and_analyse_dataset.py:46-49``); this measures
+    how many it runs at once on one chip.  Returns a dict of aggregate fps,
+    per-sequence fps, and health.
+    """
+    T0 = limit_frames - (limit_frames % chunk_size)
+    imgs_np, meta_np, state, tracker, settings, tcfg, camera, suite, K = \
+        collect_fused_inputs(dataset_dir, config, T0, dtype=dtype)
+    T = imgs_np.shape[0] - (imgs_np.shape[0] % chunk_size)
+    imgs_np, meta_np = imgs_np[:T], meta_np[:T]
+
+    rng = np.random.default_rng(noise_seed)
+    imgs_b = np.stack([
+        np.clip(
+            imgs_np.astype(np.int16) + rng.integers(-3, 4, imgs_np.shape, dtype=np.int16),
+            0, 255,
+        ).astype(np.uint8)
+        for _ in range(batch)
+    ])  # [B, T, H, W]
+    meta_b = np.broadcast_to(meta_np[None], (batch,) + meta_np.shape)
+
+    run_chunk_b = _make_batch_chunk_runner(tcfg, settings, suite, camera, K, dtype)
+    state_h = jax.device_get(state)
+    tracker_h = jax.device_get(tracker)
+
+    def rep_states():
+        sb = jax.tree.map(
+            lambda a: jnp.broadcast_to(jnp.asarray(a, dtype=a.dtype)[None],
+                                       (batch,) + a.shape).copy(), state_h)
+        tb = jax.tree.map(
+            lambda a: jnp.broadcast_to(jnp.asarray(a)[None],
+                                       (batch,) + a.shape).copy(), tracker_h)
+        return sb, tb
+
+    # upload once, pre-split per chunk (slices on host; device arrays resident)
+    img_chunks = [
+        jax.device_put(imgs_b[:, c:c + chunk_size]) for c in range(0, T, chunk_size)
+    ]
+    meta_chunks = [
+        jax.device_put(np.ascontiguousarray(meta_b[:, c:c + chunk_size]).astype(
+            np.float64 if jnp.dtype(dtype) == jnp.float64 else np.float32))
+        for c in range(0, T, chunk_size)
+    ]
+
+    def one_pass():
+        sb, tb = rep_states()
+        outs = None
+        for ic, mc in zip(img_chunks, meta_chunks):
+            (sb, tb), outs = run_chunk_b(sb, tb, ic, mc)
+        jax.block_until_ready(outs)
+        return outs
+
+    outs = one_pass()  # compile + warm
+    finite = bool(np.isfinite(np.asarray(outs[:, -1, :21])).all())
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        one_pass()
+        best = min(best, time.perf_counter() - t0)
+
+    result = {
+        "full_frame_batch_fps": round(batch * T / best, 1),
+        "full_frame_batch_per_seq_fps": round(T / best, 1),
+        "full_frame_batch_B": batch,
+        "full_frame_batch_frames": T,
+        "full_frame_batch_finite": finite,
+    }
+    try:
+        ca = run_chunk_b.lower(
+            *rep_states(), img_chunks[0], meta_chunks[0]
+        ).compile().cost_analysis()
+        if ca and ca.get("flops"):
+            n_chunks = T // chunk_size
+            result["full_frame_batch_gflops_per_s"] = round(
+                float(ca["flops"]) * n_chunks / best / 1e9, 2
+            )
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        pass
+    return result
 
 
 def main(argv=None):

@@ -65,6 +65,7 @@ def generate_asl_dataset(
     imu_noise: dict | None = None,
     gt_freq: float | None = None,
     num_walls: int = 4,
+    wall_distance: float = 2.0,
 ):
     """Write a synthetic ASL dataset tree under ``out_dir``; returns the Simulator.
 
@@ -85,7 +86,7 @@ def generate_asl_dataset(
 
     sim = Simulator.create(
         kind=kind, end_time=end_time + 1.0, num_points=num_points,
-        num_walls=num_walls, seed=seed,
+        num_walls=num_walls, seed=seed, wall_distance=wall_distance,
     )
     if intrinsics is None:
         fx = fy = 200.0
@@ -244,6 +245,74 @@ def generate_v101_proxy(out_dir: str, end_time: float = 144.0, seed: int = 11):
             "duration_s": 144.0,
             "path_length_m": 58.56120400739347,
             "mean_speed_mps": 58.56120400739347 / 144.0,
+        },
+    }
+    with open(os.path.join(out_dir, "proxy_info.yaml"), "w") as f:
+        _yaml.safe_dump(stats, f)
+    return sim, stats
+
+
+def generate_mh03_proxy(out_dir: str, end_time: float = 132.0, seed: int = 17):
+    """Hermetic stand-in for EuRoC MH_03_medium — the fast-motion,
+    larger-landmark-set regime (BASELINE.json config #3).
+
+    A 132 s ``mh`` machine-hall sweep whose motion statistics match MH_03's
+    committed numbers (path length 127.355 m — reference
+    ``configs/EQVIO_results_EuRoC_stationary.yaml`` — mean speed 0.965 m/s,
+    peaks ~2.3 m/s, yaw rates to ~0.96 rad/s), rendered at 752x480/20 Hz
+    through the real EuRoC cam0 radtan calibration over a larger 6-wall
+    world (more landmark churn than the V1_01 proxy), IMU corrupted at
+    ADIS16448 datasheet densities with integrated bias random walks.
+    Returns (sim, stats_dict); stats also written to ``proxy_info.yaml``.
+    """
+    import yaml as _yaml
+
+    sim = generate_asl_dataset(
+        out_dir,
+        end_time=end_time,
+        imu_freq=200.0,
+        frame_freq=20.0,
+        width=752,
+        height=480,
+        num_points=1400,
+        seed=seed,
+        kind="mh",
+        intrinsics=EUROC_CAM0_INTRINSICS,
+        distortion=EUROC_CAM0_DISTORTION,
+        imu_noise={
+            # TRUE sensor noise at ADIS16448 datasheet densities (same
+            # rationale as the V1_01 proxy: the filter keeps the reference's
+            # tuned velocityNoise, the sensor does not)
+            "gyr": 1.6968e-04,
+            "acc": 2.0000e-03,
+            "gyrBias": 1.9393e-05,
+            "accBias": 3.0000e-03,
+        },
+        gt_freq=100.0,
+        num_walls=6,
+        wall_distance=2.5,
+    )
+
+    x = np.asarray(sim.poses.x)
+    t = np.asarray(sim.times)
+    seg = np.linalg.norm(np.diff(x, axis=0), axis=1)
+    speed = seg / np.diff(t)
+    R = np.asarray(sim.poses.R)
+    dR = np.einsum("tij,tik->tjk", R[:-1], R[1:])
+    ang = np.arccos(np.clip((np.trace(dR, axis1=1, axis2=2) - 1) / 2, -1, 1))
+    ang_rate = ang / np.diff(t)
+    mask = t[:-1] < end_time
+    stats = {
+        "duration_s": float(min(end_time, t[-1])),
+        "path_length_m": float(seg[mask].sum()),
+        "mean_speed_mps": float(speed[mask].mean()),
+        "max_speed_mps": float(speed[mask].max()),
+        "mean_ang_rate_radps": float(ang_rate[mask].mean()),
+        "max_ang_rate_radps": float(ang_rate[mask].max()),
+        "targets_mh03": {
+            "duration_s": 132.0,
+            "path_length_m": 127.35526466112435,
+            "mean_speed_mps": 127.35526466112435 / 132.0,
         },
     }
     with open(os.path.join(out_dir, "proxy_info.yaml"), "w") as f:

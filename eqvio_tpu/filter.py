@@ -323,15 +323,31 @@ def integrate_observer(state: EqFState, imu: IMU, dt, settings: Settings) -> EqF
 
 
 def integrate_riccati_fast(
-    state: EqFState, imu: IMU, dt, settings: Settings, suite: CoordinateSuite
+    state: EqFState, imu: IMU, dt, settings: Settings, suite: CoordinateSuite,
+    wide: bool = False,
 ) -> EqFState:
-    """Euler Riccati step (reference ``VIO_eqf.cpp:62-72``)."""
+    """Euler Riccati step (reference ``VIO_eqf.cpp:62-72``).
+
+    ``wide=True`` (sqrt mode only) skips the re-triangularising QR and stores
+    the wide stacked factor in ``Sigma`` (shape ``[D, Wc+12+D]``) — exact,
+    since only the factor's Gram is meaningful.  Every sqrt-mode consumer
+    (:func:`outlier_mask`, :func:`update_vision`, :func:`dense_sigma`,
+    :func:`_sqrt_mask_reset`) is width-generic, and the frame's Kailath
+    update QR returns a square factor, so the wide form lives only between
+    propagation and update inside a fused frame program.
+    """
     D = state.xi0.dim()
     dtype = state.Sigma.dtype
     A0t = suite.state_matrix_A(state.X, state.xi0, imu)
     Bt = suite.input_matrix_B(state.X, state.xi0)
     A_exp = jnp.eye(D, dtype=dtype) + dt * A0t
     if settings.sqrt_covariance:
+        if wide:
+            # no dt>0 bypass (shapes differ); at dt == 0 the stack's Gram is
+            # exactly the sanitized covariance, so downstream results match
+            return state._replace(
+                Sigma=_sqrt_riccati_stack(state, A_exp, Bt, dt, settings, dtype)
+            )
         # zero-dt padded entries must be exact no-ops: bypass the QR
         Sigma = jnp.where(
             jnp.asarray(dt, dtype=dtype) > 0,
@@ -352,16 +368,16 @@ def _mask_outer(xi0: VIOState) -> jnp.ndarray:
     return mv[:, None] * mv[None, :]
 
 
-def _sqrt_riccati_step(state, A_exp, Bt, dt, settings: Settings, dtype) -> jnp.ndarray:
-    """Sqrt form of ``Sigma <- mask (A Sigma A^T + dt (B q B^T + P)) mask +
-    pad``: ONE QR over the row-masked stacked factor blocks.
+def _sqrt_riccati_stack(state, A_exp, Bt, dt, settings: Settings, dtype) -> jnp.ndarray:
+    """Wide (un-triangularised) factor ``S`` with ``S S^T = mask (A Sigma A^T
+    + dt (B q B^T + P)) mask + pad`` — the stacked blocks of the sqrt Riccati
+    step, width ``Wc + 12 + D`` where ``Wc`` is the incoming factor's width.
 
     Row-masking every stacked block zeroes both rows and columns of each
-    Gram contribution, and the pad columns contribute only inactive-slot
-    diagonals, so the QR output is the exact Cholesky factor of the
-    *sanitized* covariance — no follow-up ``sanitize_sigma`` QR.  Combined
-    with the surgery-absorbing update (:func:`update_vision`) the sqrt
-    filter runs exactly two QRs per frame.
+    Gram contribution.  The process-noise and pad diagonals merge into ONE
+    diagonal block because their masks are disjoint (``p_diag`` is active-
+    masked, ``pad`` inactive-masked), so the stack stays as narrow as
+    possible for the downstream QR.
     """
     dt = jnp.asarray(dt, dtype=dtype)
     dt_pos = jnp.maximum(dt, 0.0)
@@ -369,16 +385,29 @@ def _sqrt_riccati_step(state, A_exp, Bt, dt, settings: Settings, dtype) -> jnp.n
     q_sqrt = jnp.sqrt(settings.input_gain_diag(dtype))
     p_diag = settings.state_gain_diag(state.xi0.capacity, dtype) * mv
     pad = (1.0 - mv) * settings.initial_point_var
-    stacked = jnp.concatenate(
+    return jnp.concatenate(
         [
             (A_exp @ state.Sigma) * mv[:, None],
             jnp.sqrt(dt_pos) * (Bt * q_sqrt[None, :]) * mv[:, None],
-            jnp.diag(jnp.sqrt(dt_pos * p_diag)),
-            jnp.diag(jnp.sqrt(pad)),
+            jnp.diag(jnp.sqrt(dt_pos * p_diag + pad)),
         ],
         axis=1,
     )
-    return tria(stacked)
+
+
+def _sqrt_riccati_step(state, A_exp, Bt, dt, settings: Settings, dtype) -> jnp.ndarray:
+    """Sqrt form of the Riccati step: ONE QR over the row-masked stacked
+    factor blocks (:func:`_sqrt_riccati_stack`).
+
+    The pad columns contribute only inactive-slot diagonals, so the QR
+    output is the exact Cholesky factor of the *sanitized* covariance — no
+    follow-up ``sanitize_sigma`` QR.  Combined with the surgery-absorbing
+    update (:func:`update_vision`) the sqrt filter runs at most two QRs per
+    frame — and the fused frame path (``wide_factor=True`` in
+    :func:`propagate_window`) skips this QR entirely, carrying the wide
+    stack into the update's Kailath pre-array for ONE QR per frame.
+    """
+    return tria(_sqrt_riccati_stack(state, A_exp, Bt, dt, settings, dtype))
 
 
 def integrate_riccati_accurate(
@@ -414,8 +443,8 @@ def integrate_riccati_accurate(
             [
                 (A_exp @ state.Sigma) * mv[:, None],
                 (B_exp * q_sqrt[None, :]) * mv[:, None],
-                jnp.diag(jnp.sqrt(dt_safe * p_diag)),
-                jnp.diag(jnp.sqrt(pad)),
+                # p_diag and pad have disjoint masks: one diagonal block
+                jnp.diag(jnp.sqrt(dt_safe * p_diag + pad)),
             ],
             axis=1,
         )
@@ -480,15 +509,27 @@ def propagate_window(
     dts: jnp.ndarray,
     settings: Settings,
     suite: CoordinateSuite | None = None,
+    wide_factor: bool = False,
 ) -> EqFState:
     """Propagate over a padded IMU window [K] with per-sample dt via lax.scan.
 
     Replaces the reference's velocity-buffer loop (``VIOFilter.cpp:160-178``).
     With ``fast_riccati`` the Riccati step runs once on the time-weighted mean
     IMU (``VIOFilter.cpp:140-157``); otherwise per sample.
+
+    ``wide_factor=True``: with sqrt covariance + fast Riccati, skip the
+    Riccati QR and return ``Sigma`` as the wide stacked factor ``[D, 2D+12]``
+    (see :func:`integrate_riccati_fast`).  The caller MUST follow with a
+    re-squaring consumer (``process_vision`` / ``update_vision`` /
+    ``sanitize via _sqrt_mask_reset``) in the same program — this is the
+    one-QR-per-frame fusion of the Riccati and Kailath pre-arrays
+    (reference's two separate steps: ``VIO_eqf.cpp:62-72`` and ``105-135``).
+    In any other mode the flag is a no-op, so callers may pass it
+    unconditionally.
     """
     if suite is None:
         suite = settings.suite
+    wide = wide_factor and settings.sqrt_covariance and settings.fast_riccati
 
     if settings.fast_riccati:
         total = jnp.clip(jnp.sum(dts), 1e-9, None)
@@ -500,7 +541,7 @@ def propagate_window(
             gyr_bias_vel=jnp.sum(imu_window.gyr_bias_vel * weight, axis=0),
             acc_bias_vel=jnp.sum(imu_window.acc_bias_vel * weight, axis=0),
         )
-        state = integrate_riccati_fast(state, mean_imu, total, settings, suite)
+        state = integrate_riccati_fast(state, mean_imu, total, settings, suite, wide=wide)
 
         if settings.use_discrete_velocity_lift:
             # fused observer: integrate the estimate cheaply, then apply ONE

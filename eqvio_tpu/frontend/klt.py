@@ -218,7 +218,11 @@ def track_features(
         mode = _os.environ.get("EQVIO_KLT_MODE", "auto")
     if mode == "auto":
         backend = jax.default_backend()
-        mode = "mxu" if backend not in ("cpu",) else "gather"
+        # TPU default is the VMEM-resident Pallas kernel: faster than the
+        # interpolation-as-matmul MXU path (round-4 chip: 1.06 vs 1.13 ms per
+        # 4-level 30-feature track) and border-equal to the gather path
+        # (tests/test_pallas_klt.py + on-chip equality gate in bench.py)
+        mode = "pallas" if backend == "tpu" else "gather"
     if use_pallas:
         mode = "pallas"
 

@@ -275,7 +275,10 @@ def build_sim_runner(
         t_frame, widx, wdts, k_frame = scan_in
 
         imu_win = jax.tree.map(lambda a: a[widx], imu_all)
-        state = F.propagate_window(state, imu_win, wdts, settings, suite)
+        state = F.propagate_window(
+            state, imu_win, wdts, settings, suite,
+            wide_factor=not full_state and not augment_true_landmarks,
+        )
 
         if full_state:
             # eqvio_sim --fullState: slots are world points (id i == slot i);
@@ -458,7 +461,10 @@ def build_fleet_runner(settings: F.Settings, inputs_list: list[SimInputs],
             state, tracker = carry
             t_frame, widx, wdts, k_frame = scan_in
             imu_win = jax.tree.map(lambda a: a[widx], imu_all)
-            state = F.propagate_window(state, imu_win, wdts, settings, suite)
+            state = F.propagate_window(
+                state, imu_win, wdts, settings, suite,
+                wide_factor=not augment_true_landmarks,
+            )
             tracker = slot_tracker_step_compact(tracker, sel_ids_all[k_frame])
             pixels, vis, ids, true_pts = gather_slots_compact(
                 sel_ids_all[k_frame], sel_pts_all[k_frame], tracker, camera

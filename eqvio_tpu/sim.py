@@ -91,6 +91,38 @@ def trajectory_poses(kind: str, end_time: float, frequency: float, dtype=jnp.flo
         Ry = so3_exp(jnp.stack([zero, pitch, zero], axis=-1))
         Rx = so3_exp(jnp.stack([roll, zero, zero], axis=-1))
         R = jnp.einsum("tij,tjk,tkl->til", Rz, Ry, Rx)
+    elif kind in ("mh", "machine_hall"):
+        # EuRoC MH_03_medium-like machine-hall sweep: larger volume
+        # (~9x5x2.5 m bounding box), faster translation and more landmark
+        # churn than the Vicon-room kind; stationary start.  The final factor
+        # calibrates a 132 s run to MH_03's committed statistics: path length
+        # 127.355 m (reference configs/EQVIO_results_EuRoC_stationary.yaml
+        # "Trajectory length"), hence mean speed 0.965 m/s; speed peaks
+        # ~2.3 m/s and yaw rates ~0.8 rad/s — the "medium" regime.
+        two_pi = 2 * jnp.pi
+        u = jnp.maximum(0.0, t - 3.0)
+        tau = u - 2.0 * (1.0 - jnp.exp(-u / 2.0))
+        scale = 127.35526466112435 / 127.650055  # exact-length calibration at 132 s
+        x = scale * jnp.stack(
+            [
+                4.5 * jnp.sin(two_pi * tau / 40.0) + 1.3 * jnp.sin(two_pi * tau / 11.0)
+                + 0.18 * jnp.sin(two_pi * tau / 2.1),
+                2.3 * jnp.sin(two_pi * tau / 31.0 + 0.7) + 1.0 * jnp.cos(two_pi * tau / 13.0)
+                + 0.18 * jnp.sin(two_pi * tau / 2.4 + 0.8),
+                1.1 * jnp.sin(two_pi * tau / 17.0) + 0.4 * jnp.sin(two_pi * tau / 6.3)
+                + 0.10 * jnp.sin(two_pi * tau / 2.0 + 1.2),
+            ],
+            axis=-1,
+        )
+        yaw = (1.4 * jnp.sin(two_pi * tau / 37.0) + 0.5 * jnp.sin(two_pi * tau / 9.0)
+               + 0.08 * jnp.sin(two_pi * tau / 2.2))
+        roll = 0.18 * jnp.sin(two_pi * tau / 5.1) + 0.07 * jnp.sin(two_pi * tau / 1.7)
+        pitch = 0.18 * jnp.cos(two_pi * tau / 6.4) + 0.07 * jnp.cos(two_pi * tau / 2.0 + 0.5)
+        zero = jnp.zeros_like(t)
+        Rz = so3_exp(jnp.stack([zero, zero, yaw], axis=-1))
+        Ry = so3_exp(jnp.stack([zero, pitch, zero], axis=-1))
+        Rx = so3_exp(jnp.stack([roll, zero, zero], axis=-1))
+        R = jnp.einsum("tij,tjk,tkl->til", Rz, Ry, Rx)
     elif kind == "racing":
         # UZH-FPV-like aggressive drone-racing circuit: a large figure-eight
         # with vertical weave in an ~18x9x2 m hall, stationary start, yaw

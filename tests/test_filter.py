@@ -423,3 +423,75 @@ def test_process_vision_fused_surgery_matches_legacy_chain():
         Sig_f = np.asarray(F.dense_sigma(fused, settings))
         Sig_l = np.asarray(F.dense_sigma(st, settings))
         np.testing.assert_allclose(Sig_f, Sig_l, atol=1e-8), sqrt_mode
+
+
+def test_one_qr_frame_fusion_matches_two_qr():
+    """The one-QR frame fusion (``propagate_window(wide_factor=True)``: the
+    Riccati stack feeds the Kailath pre-array un-triangularised) must equal
+    the two-QR path exactly in covariance semantics, in f64 and f32, over a
+    multi-frame sequence with landmark lifecycle and zero-dt window padding.
+
+    Fuses the reference's two per-frame covariance steps
+    (``VIO_eqf.cpp:62-72`` Riccati, ``VIO_eqf.cpp:105-135`` update) into a
+    single QR — only the factor's Gram is meaningful, so skipping the
+    intermediate re-triangularisation is exact algebra.
+    """
+    from eqvio_tpu.states import IMU
+
+    for dtype, tol in ((jnp.float64, 1e-9), (jnp.float32, 2e-4)):
+        rng = np.random.default_rng(11)
+        cam = default_sim_camera(dtype)
+        Ncap = 10
+        settings = F.Settings(
+            measurement_noise=0.5, sqrt_covariance=True, fast_riccati=True
+        )
+        suite = settings.suite
+        state0 = F.init_state(settings, Ncap, dtype)
+        pts = jnp.asarray(
+            rng.uniform(-0.5, 0.5, size=(Ncap, 3)) + [0, 0, 4.0], dtype=dtype
+        )
+        ids0 = jnp.arange(Ncap, dtype=jnp.int64)
+        mask0 = jnp.arange(Ncap) < 7
+        state0 = F.add_landmarks(state0, cam.project(pts), mask0, ids0, cam, settings)
+
+        K = 4
+
+        def run(wide):
+            st = state0
+            r = np.random.default_rng(7)
+            for k in range(6):
+                # last window entry is a zero-dt pad (must be a no-op)
+                dts = jnp.asarray([0.005, 0.005, 0.005, 0.0], dtype=dtype)
+                imu_win = IMU(
+                    stamp=jnp.asarray([0.005 * (4 * k + i) for i in range(K)], dtype=dtype),
+                    gyr=jnp.asarray(r.normal(size=(K, 3)) * 0.1, dtype=dtype),
+                    acc=jnp.asarray(r.normal(size=(K, 3)) + [0, 0, 9.81], dtype=dtype),
+                    gyr_bias_vel=jnp.zeros((K, 3), dtype=dtype),
+                    acc_bias_vel=jnp.zeros((K, 3), dtype=dtype),
+                )
+                st = F.propagate_window(st, imu_win, dts, settings, suite,
+                                        wide_factor=wide)
+                pix = cam.project(pts) + jnp.asarray(
+                    r.normal(size=(Ncap, 2)) * 0.3, dtype=dtype
+                )
+                # frame 3: lose slot 2, re-use slot 3 under a new id, add slot 8
+                vis, ids = mask0, ids0
+                if k == 3:
+                    vis = mask0.at[2].set(False).at[8].set(True)
+                    ids = ids0.at[3].set(103).at[8].set(108)
+                st = F.process_vision(st, pix, vis, ids, cam, settings, suite)
+            return st
+
+        two_qr = run(False)
+        one_qr = run(True)
+        assert one_qr.Sigma.shape == two_qr.Sigma.shape  # re-squared by the update
+        np.testing.assert_array_equal(
+            np.asarray(one_qr.xi0.mask), np.asarray(two_qr.xi0.mask)
+        )
+        np.testing.assert_allclose(
+            np.asarray(one_qr.X.A.x), np.asarray(two_qr.X.A.x), atol=tol
+        )
+        Sig_1 = np.asarray(F.dense_sigma(one_qr, settings))
+        Sig_2 = np.asarray(F.dense_sigma(two_qr, settings))
+        scale = max(1.0, np.abs(Sig_2).max())
+        np.testing.assert_allclose(Sig_1 / scale, Sig_2 / scale, atol=tol)
