@@ -241,7 +241,9 @@ def main():
     from eqvio_tpu import filter as F
     from eqvio_tpu.runner import build_sim_runner, prepare_sim_inputs
 
-    dtype = jnp.float32 if jax.default_backend() != "cpu" else jnp.float32
+    # BENCH_DTYPE=f64 runs the reference-parity numerics (C++ double) — used
+    # for the CPU anchor measurement documented in BASELINE.md
+    dtype = jnp.float64 if os.environ.get("BENCH_DTYPE") == "f64" else jnp.float32
 
     # ---- headline: tracker-inclusive single-sequence full-frame rate ----
     full_frame_fps, healthy, decomp = bench_full_frame(dtype)

@@ -27,6 +27,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+try:  # public alias when available; the config state otherwise
+    from jax.experimental import enable_x64 as _enable_x64
+except ImportError:  # pragma: no cover
+    from jax._src.config import enable_x64 as _enable_x64
+
 _ROWS = 32  # aligned block rows loaded per feature (>= win + 3, multiple of 8)
 _COLS = 256  # aligned block cols (>= 128 + win + 3, multiple of 128)
 
@@ -84,7 +89,23 @@ def _klt_kernel(pos_ref, guess_ref, img_prev_ref, img_next_ref,
     frame, so patches that overhang the content sample replicated edge
     values — the same semantics as the JAX path's per-sample coordinate
     clamp in ``_bilinear``.  The clamps below only engage for runaway
-    estimates, which the caller's error/in-domain gates drop anyway."""
+    estimates, which the caller's error/in-domain gates drop anyway.
+
+    Traced with x64 OFF: under x64 every Python int/float literal becomes a
+    64-bit constant plus a 64->32 convert, and Mosaic cannot lower 64-bit
+    converts (its i64->i32 helper recurses until RecursionError).  The
+    kernel math is pure f32/i32 either way — the context only keeps the
+    literals 32-bit.
+    """
+    with _enable_x64(False):
+        _klt_kernel_body(pos_ref, guess_ref, img_prev_ref, img_next_ref,
+                         out_pos_ref, out_err_ref, win=win, iters=iters,
+                         H=H, W=W)
+
+
+def _klt_kernel_body(pos_ref, guess_ref, img_prev_ref, img_next_ref,
+                     out_pos_ref, out_err_ref, *, win: int, iters: int,
+                     H: int, W: int):
     i = pl.program_id(0)
     dtype = jnp.float32
     r = (win - 1) * 0.5
@@ -172,7 +193,22 @@ def klt_track_level_pallas(
     off = jnp.asarray([left, top], jnp.float32)
     positions = positions.astype(jnp.float32) + off
     guesses = guesses.astype(jnp.float32) + off
-    out_pos, out_err = pl.pallas_call(
+    # x64 OFF around the pallas_call: with x64 on, the BlockSpec index maps
+    # and every Python literal in the kernel trace as 64-bit values, which
+    # Mosaic cannot legalize (i64 func.return / recursing i64->i32 convert
+    # helper).  All kernel inputs/outputs are f32, so this changes nothing
+    # numerically.
+    with _enable_x64(False):
+        out_pos, out_err = _pallas_klt_call(
+            positions, guesses, img_prev, img_next,
+            win=win, iters=iters, H=H, W=W, N=N, interpret=interpret,
+        )
+    return out_pos - off, out_err[:, 0]
+
+
+def _pallas_klt_call(positions, guesses, img_prev, img_next, *, win, iters,
+                     H, W, N, interpret):
+    return pl.pallas_call(
         functools.partial(_klt_kernel, win=win, iters=iters, H=H, W=W),
         grid=(N,),
         in_specs=[
@@ -196,4 +232,3 @@ def klt_track_level_pallas(
         img_prev.astype(jnp.float32),
         img_next.astype(jnp.float32),
     )
-    return out_pos - off, out_err[:, 0]

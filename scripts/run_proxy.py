@@ -36,6 +36,22 @@ PROXIES = {
         gt="/tmp/eqvio_proxies/v101/mav0/state_groundtruth_estimate0/data.csv",
         gt_format="asl",
     ),
+    "mh03": dict(
+        ds="/tmp/eqvio_proxies/mh03",
+        cfg="configs/config_mh03_proxy.yaml",
+        mode="asl",
+        camera=None,
+        gt="/tmp/eqvio_proxies/mh03/mav0/state_groundtruth_estimate0/data.csv",
+        gt_format="asl",
+    ),
+    "distractor": dict(
+        ds="/tmp/eqvio_proxies/distractor",
+        cfg="configs/config_v101_proxy.yaml",
+        mode="asl",
+        camera=None,
+        gt="/tmp/eqvio_proxies/distractor/mav0/state_groundtruth_estimate0/data.csv",
+        gt_format="asl",
+    ),
 }
 
 
