@@ -410,6 +410,7 @@ def run_dataset(
     checkpoint_every: int = 0,
     checkpoint_path: str | None = None,
     resume: str | None = None,
+    live_port: int | None = None,
 ):
     """Run the full real-data pipeline; returns (writer, summary dict).
 
@@ -494,7 +495,7 @@ def run_dataset(
             timing, imu_window, dtype, chunk_size, limit_frames, limit_rate,
             profile_dir, simimu, sim,
             checkpoint_every=checkpoint_every, checkpoint_path=checkpoint_path,
-            resume_cursor=resume_cursor,
+            resume_cursor=resume_cursor, live_port=live_port,
         )
     if checkpoint_every or resume_cursor:
         raise ValueError(
@@ -652,7 +653,7 @@ def _run_fused(
     timing, imu_window, dtype, chunk_size, limit_frames, limit_rate,
     profile_dir, simimu, sim,
     checkpoint_every: int = 0, checkpoint_path: str | None = None,
-    resume_cursor: dict | None = None,
+    resume_cursor: dict | None = None, live_port: int | None = None,
 ):
     """Chunked device loop: K frames per dispatch, outputs pulled once per
     chunk (replaces the reference's per-frame loop with a fused scan).
@@ -666,6 +667,13 @@ def _run_fused(
     """
     run_chunk = _make_chunk_runner(tcfg, settings, suite, camera, imu_window, dtype)
     C = chunk_size
+
+    live = None
+    if live_port is not None:
+        from ..visualisation import LiveDisplayServer
+
+        live = LiveDisplayServer(port=live_port)
+        print(f"live map view: http://127.0.0.1:{live.port}/", flush=True)
 
     imu_buf: list[tuple[float, np.ndarray, np.ndarray]] = []
     initialised = False
@@ -744,6 +752,10 @@ def _run_fused(
                     landmarks=lms, landmark_ids=lids, landmark_mask=lmask,
                 )
                 writer.write_features(stamps[i], fpx, fids, fvis)
+                if live is not None:
+                    # the estimated camera offset ships in the output row
+                    live.update(stamps[i], pR, px, cR, cx,
+                                lms, lids.astype(np.int64), lmask > 0.5)
         t_wr = time.perf_counter() - t_wr0
         wr_s += t_wr
         if writer is not None and timing:
@@ -1087,6 +1099,8 @@ def _run_fused(
         summary["device_sections_ms"] = {
             k: round(v * 1e3, 3) for k, v in calib.items()
         }
+    if live is not None:
+        live.close()
     return state, summary
 
 
@@ -1265,6 +1279,10 @@ def main(argv=None):
     ap.add_argument("--resume", default=None,
                     help="resume from a checkpoint.npz written by --checkpointEvery")
     ap.add_argument("--display", action="store_true", help="accepted for parity; no GUI")
+    ap.add_argument("--live", type=int, default=None, metavar="PORT",
+                    help="serve a live map view at http://127.0.0.1:PORT/ "
+                         "(the reference --display equivalent for headless "
+                         "hosts; needs --output)")
     args = ap.parse_args(argv)
 
     from ._env import configure_runtime
@@ -1296,6 +1314,7 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every,
         checkpoint_path=args.checkpoint_path,
         resume=args.resume,
+        live_port=args.live,
     )
     status = "OK" if summary.get("healthy") else "UNHEALTHY (NaN/scale)"
     print(f"Processed {summary['frames']} frames at {summary['fps']:.1f} fps; "

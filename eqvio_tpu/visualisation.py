@@ -238,3 +238,93 @@ class MapDisplay:
             plt.close(fig)
             return path
         return fig
+
+
+class LiveDisplayServer:
+    """Localhost LIVE map viewer: the runtime equivalent of the reference's
+    GLUT 3-D plotter (``libs/visualisation/include/Plotter.h:29-108`` and the
+    live display loop in ``VIOVisualiser.cpp:139-228``), redesigned for
+    headless/remote TPU hosts: instead of an OpenGL window, a background
+    stdlib HTTP server renders the accumulated :class:`MapDisplay` on demand
+    and serves an auto-refreshing page at ``http://127.0.0.1:PORT/``.
+
+    Zero external dependencies, zero cost when no client is connected (the
+    figure renders only on request); ``update()`` is the per-frame hook and
+    is safe to call from the pipeline's writer thread.
+    """
+
+    def __init__(self, display: MapDisplay | None = None, port: int = 8642):
+        import http.server
+        import threading
+
+        self.display = display or MapDisplay()
+        self._lock = threading.Lock()
+        self.frames = 0
+        server = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence per-request stderr lines
+                pass
+
+            def do_GET(self):
+                if self.path in ("/", "/index.html"):
+                    body = (
+                        "<!doctype html><title>eqvio_tpu live</title>"
+                        "<body style='background:#111;color:#ddd;"
+                        "font-family:monospace'>"
+                        "<h3>eqvio_tpu live map</h3>"
+                        "<div id=s></div><img id=m src=/map.png width=720>"
+                        "<script>setInterval(()=>{m.src='/map.png?'+Date.now();"
+                        "fetch('/status.json').then(r=>r.json()).then(j=>"
+                        "s.textContent='frame '+j.frames+' @ t='+j.t);},1000);"
+                        "</script></body>"
+                    ).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path.startswith("/map.png"):
+                    import io
+
+                    buf = io.BytesIO()
+                    with server._lock:
+                        fig = server.display.render()
+                        fig.savefig(buf, format="png", dpi=100,
+                                    bbox_inches="tight")
+                        import matplotlib.pyplot as plt
+
+                        plt.close(fig)
+                    body = buf.getvalue()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path.startswith("/status.json"):
+                    import json as _json
+
+                    with server._lock:
+                        t = server.display.times[-1] if server.display.times else 0.0
+                        body = _json.dumps(
+                            {"frames": server.frames, "t": round(t, 3)}
+                        ).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self.send_error(404)
+
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self.httpd.server_address[1]
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def update(self, *args, **kwargs):
+        with self._lock:
+            self.display.update(*args, **kwargs)
+            self.frames += 1
+
+    def close(self):
+        self.httpd.shutdown()
