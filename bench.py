@@ -112,6 +112,18 @@ def bench_full_frame(dtype):
     cfg["GIFT"]["maxFeatures"] = 30
     cfg["GIFT"]["winSize"] = 21
     cfg["eqf"]["initialValue"]["sceneDepth"] = 4.3  # measured bench-scene start median depth
+    # algorithm switches of the reference's SHIPPED EuRoC config
+    # (EQVIO_config_EuRoC_stationary.yaml:43-51) rather than the template
+    # defaults: fastRiccati engages the mean-IMU single Riccati step (and with
+    # it the one-QR frame fusion); the template's accurate per-sample expm
+    # Riccati burned ~1.7 ms/frame in LU custom-calls (round-5 XLA trace)
+    cfg["eqf"]["settings"] = {
+        **(cfg["eqf"].get("settings") or {}),
+        "fastRiccati": True,
+        "coordinateChoice": "InvDepth",
+        "useDiscreteInnovationLift": False,
+        "useMedianDepth": False,
+    }
     chunk = int(os.environ.get("BENCH_CHUNK", "16"))
 
     def once():
@@ -283,6 +295,13 @@ def main():
             cfg_b["GIFT"]["maxFeatures"] = 30
             cfg_b["GIFT"]["winSize"] = 21
             cfg_b["eqf"]["initialValue"]["sceneDepth"] = 4.3
+            cfg_b["eqf"]["settings"] = {
+                **(cfg_b["eqf"].get("settings") or {}),
+                "fastRiccati": True,
+                "coordinateChoice": "InvDepth",
+                "useDiscreteInnovationLift": False,
+                "useMedianDepth": False,
+            }
             secondary.update(bench_batch_full_frame(
                 BENCH_DATASET, cfg_b, B_ff, dtype=dtype,
                 limit_frames=int(os.environ.get("BENCH_FF_FRAMES", "224")),

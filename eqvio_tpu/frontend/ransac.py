@@ -8,9 +8,10 @@ sequential hypothesise-and-verify loop (data-dependent iteration counts are
 jit-hostile), ALL hypotheses are solved simultaneously:
 
 - sample K hypotheses of 8 correspondences each with one masked argsort,
-- solve the normalised 8-point problem for all K at once with a single
-  batched 9x9 eigendecomposition of ``A^T A``,
-- enforce rank 2 with a batched 3x3 SVD,
+- solve the normalised 8-point problem for all K at once: the nullspace
+  direction of ``A^T A`` via batched unrolled inverse iteration (no linalg
+  custom-calls anywhere in the gate),
+- enforce rank 2 from the smallest singular pairs, same machinery,
 - score every correspondence against every hypothesis with one batched
   Sampson-distance evaluation ``[K, N]``,
 - pick the hypothesis with the most masked inliers.
@@ -50,18 +51,86 @@ def _constraint_rows(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _cholesky_small(G: jnp.ndarray) -> list:
+    """Unrolled lower-Cholesky of a tiny batched SPD matrix ``[..., n, n]``.
+
+    Returns the factor as a list-of-lists of batched scalars.  For n <= 9
+    this is ~n^2/2 fused elementwise ops — no linalg custom-call, no loop
+    carry, so XLA fuses the whole factorisation into a few vector kernels
+    (the batched QDWH eigh it replaces cost ~1.3 ms/frame of custom-call
+    device time in the round-5 XLA trace).
+    """
+    n = G.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = G[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def _chol_solve_small(L: list, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve ``L L^T x = b`` with the unrolled factor; ``b: [..., n]``."""
+    n = len(L)
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
+def smallest_eigvec(G: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of a tiny batched PSD
+    ``G: [..., n, n]`` via regularised inverse iteration.
+
+    The gate only ever needs the minimal eigenvector (the 8-point nullspace
+    / smallest singular pair), never the full decomposition; per-iteration
+    error contraction is ``(lam_min + eps) / (lam_next + eps)`` with
+    ``eps ~ 1e-7 tr(G)``; six iterations give <1e-4 alignment error even
+    for a benign 5x eigenvalue gap, and f32 round-off for the near-null
+    gaps the gate actually produces.  All elementwise/fused ops — replaces the
+    ``jnp.linalg.eigh`` QDWH custom-calls (the dominant non-KLT device cost
+    of the tracker, round-5 trace).
+    """
+    n = G.shape[-1]
+    tr = jnp.trace(G, axis1=-2, axis2=-1)[..., None, None]
+    eye = jnp.eye(n, dtype=G.dtype)
+    L = _cholesky_small(G + (1e-7 * tr + 1e-30) * eye)
+    # deterministic, non-axis-aligned start (never orthogonal to the target
+    # in any systematic way)
+    v = jnp.broadcast_to(
+        1.0 + 0.01 * jnp.arange(n, dtype=G.dtype), G.shape[:-1]
+    )
+    for _ in range(iters):
+        v = _chol_solve_small(L, v)
+        v = v / jnp.clip(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30, None)
+    return v
+
+
 def _rank2(F: jnp.ndarray) -> jnp.ndarray:
     """Rank-2 projection of ``F: [K, 3, 3]`` (subtract the smallest singular
-    triplet).  Built from two 3x3 eigh calls instead of ``jnp.linalg.svd``: a
-    batched 3x3 SVD inside lax.scan SIGABRTs the tunnel's remote TPU compiler
-    under x64 (round-4 bisect, scripts/probe_ransac_bisect.py), and the
-    smallest singular pair is exactly the smallest eigenvectors of
-    ``F^T F`` / ``F F^T``.  ``F - u3 (u3^T F v3) v3^T`` equals zeroing
-    ``sigma_3`` (sign-invariant)."""
-    _, Vv = jnp.linalg.eigh(jnp.einsum("kij,kil->kjl", F, F))  # F^T F
-    _, Uu = jnp.linalg.eigh(jnp.einsum("kij,klj->kil", F, F))  # F F^T
-    v3 = Vv[..., 0]
-    u3 = Uu[..., 0]
+    triplet).  The smallest singular pair is exactly the smallest
+    eigenvectors of ``F^T F`` / ``F F^T`` (a batched 3x3 SVD inside lax.scan
+    SIGABRTs the tunnel's remote TPU compiler under x64 — round-4 bisect,
+    scripts/probe_ransac_bisect.py — and batched eigh burns QDWH
+    custom-calls), so both come from :func:`smallest_eigvec`.
+    ``F - u3 (u3^T F v3) v3^T`` equals zeroing ``sigma_3`` (sign-invariant).
+    """
+    v3 = smallest_eigvec(jnp.einsum("kij,kil->kjl", F, F))  # F^T F
+    u3 = smallest_eigvec(jnp.einsum("kij,klj->kil", F, F))  # F F^T
     s3 = jnp.einsum("ki,kij,kj->k", u3, F, v3)
     return F - s3[:, None, None] * u3[:, :, None] * v3[:, None, :]
 
@@ -74,8 +143,7 @@ def _eight_point(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     """
     A = _constraint_rows(p1, p2)  # [K, 8, 9]
     G = jnp.einsum("kri,krj->kij", A, A)  # [K, 9, 9]
-    _, vecs = jnp.linalg.eigh(G)
-    f = vecs[..., 0]  # eigenvector of the smallest eigenvalue
+    f = smallest_eigvec(G)  # the 8-point nullspace direction
     return _rank2(f.reshape(-1, 3, 3))
 
 
@@ -163,8 +231,7 @@ def ransac_epipolar_mask(
     w = ((d2[best] < thr2) & mask).astype(p1n.dtype)
     A_all = _constraint_rows(p1n, p2n)  # [N, 9]
     G2 = jnp.einsum("ni,nj->ij", A_all * w[:, None], A_all)
-    _, vecs2 = jnp.linalg.eigh(G2)
-    F_lo = _rank2(vecs2[:, 0].reshape(1, 3, 3))
+    F_lo = _rank2(smallest_eigvec(G2[None]).reshape(1, 3, 3))
     d2_lo = _sampson(F_lo, p1n, p2n)[0]
     refined = (d2_lo < thr2) & mask
     counts_ref = jnp.sum(refined).astype(jnp.int32)
