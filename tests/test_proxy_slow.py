@@ -18,9 +18,9 @@ import pytest
 
 SLOW = os.environ.get("EQVIO_SLOW") == "1"
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-# provisional until a committed CPU-f64 MH_03-proxy result tightens it:
-# 2x the sequence-matched reference (0.0943 m over 127.4 m)
-MH03_GATE = 0.189
+# 1.2x the committed results (CPU f64 0.0451 m, TPU f32+sqrt 0.0467 m —
+# results/proxy_{cpu_f64,tpu_f32}/mh03_proxy; reference MH_03: 0.0943 m)
+MH03_GATE = 0.056
 
 
 @pytest.mark.skipif(not SLOW, reason="slow proxy regression; set EQVIO_SLOW=1")
