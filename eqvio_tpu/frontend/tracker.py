@@ -40,6 +40,13 @@ class TrackerConfig:
     feature_search_threshold: float = 1.0
     equalize_histogram: bool = False
     use_pallas: bool = False  # VMEM-resident Pallas KLT kernel on TPU
+    # KLT backend: "auto" (TPU->pallas, CPU->gather), or pin
+    # "gather"/"mxu"/"pallas" per dataset.  The racing (fisheye) config pins
+    # "mxu": the Pallas kernel deviates up to 0.023 px from the gather
+    # reference on that scene (median 3e-5; 16/750 borderline gate flips,
+    # round-5 chip diagnostic) and the racing proxy amplifies sub-pixel
+    # tracker perturbations chaotically.
+    klt_mode: str = "auto"
     flow_outlier_threshold: float = 0.0  # median-flow gate (px); 0 disables
     # batched epipolar RANSAC gate (GIFT ransacParams equivalent);
     # threshold is the Sampson inlier distance in px, 0 disables
@@ -105,6 +112,7 @@ def tracker_step(
         win=config.win_size,
         max_error=config.max_error,
         use_pallas=config.use_pallas,
+        mode=config.klt_mode,
     )
     # epipolar RANSAC gate (GIFT ransacParams equivalent): drop tracks that
     # violate the consensus two-view geometry between previous and current

@@ -131,6 +131,8 @@ def tracker_config_from_config(cfg: dict) -> TrackerConfig:
         feature_search_threshold=float(g("featureSearchThreshold", 1.0)),
         equalize_histogram=bool(g("equaliseImageHistogram", False)),
         flow_outlier_threshold=float(g("flowOutlierThreshold", 0.0)),
+        # TPU extension: pin the KLT backend per dataset ("auto" default)
+        klt_mode=str(g("kltMode", "auto")),
         **_ransac_kwargs(gift),
     )
 
