@@ -18,8 +18,12 @@ Secondary fields:
 
 Baseline: the reference commits NO timing numbers (BASELINE.md); FPS is
 produced per run by ``analysis_tools.py:374`` on the author's unspecified CPU.
-``REFERENCE_FPS = 500`` is an ASSUMPTION (flagged via ``baseline_assumed``)
-of the reference's filter-only rate; treat ``vs_baseline`` accordingly.
+``REFERENCE_FPS = 500`` is an ASSUMPTION (flagged via ``baseline_assumed``),
+now ANCHORED by a measurement (BASELINE.md "Reference-FPS anchor"): this
+repo's own CPU-f64 full-frame pipeline runs ~3-5 fps on this 2-vCPU host,
+bracketing the reference's native C++ on a desktop at ~50-500 fps — the
+assumed 500 is the TOP of the plausible range, so ``vs_baseline`` is a
+conservative ratio.
 """
 
 import json
