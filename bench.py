@@ -190,6 +190,16 @@ def _prior_round_best():
         try:
             with open(path) as f:
                 rec = json.load(f)
+            if rec.get("value") is None and isinstance(rec.get("tail"), str):
+                # driver records wrap the bench line inside a "tail" string
+                for line in rec["tail"].splitlines():
+                    line = line.strip()
+                    if line.startswith("{") and '"value"' in line:
+                        rec = json.loads(line)
+            # only same-metric rounds are comparable (the r1/r2 headline was
+            # a different metric)
+            if rec.get("metric") != "full_frame_fps_single_seq":
+                continue
             v = rec.get("value")
             if isinstance(v, (int, float)) and (best is None or v > best):
                 best = float(v)
