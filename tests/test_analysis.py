@@ -195,3 +195,41 @@ def test_room_trajectory_stationary_start_and_v101_stats():
     L = float(seg.sum())
     assert abs(L - 58.56) < 1.0, L
     assert speed.max() < 2.0
+
+
+def test_live_display_server():
+    """LiveDisplayServer: serves status and a rendered PNG of the live map
+    over localhost HTTP (the reference GLUT plotter's headless equivalent,
+    run_opt --live)."""
+    import json as _json
+    import urllib.request
+
+    import numpy as np
+
+    from eqvio_tpu.visualisation import LiveDisplayServer
+
+    srv = LiveDisplayServer(port=0)  # ephemeral port
+    try:
+        R = np.eye(3)
+        pts = np.array([[0.0, 0.0, 2.0], [0.5, 0.2, 3.0]])
+        ids = np.array([1, 2])
+        mask = np.array([True, True])
+        for k in range(5):
+            srv.update(0.05 * k, R, np.array([0.01 * k, 0, 0]), R,
+                       np.zeros(3), pts, ids, mask)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/status.json", timeout=10
+        ) as r:
+            st = _json.loads(r.read())
+        assert st["frames"] == 5
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/map.png", timeout=30
+        ) as r:
+            png = r.read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n" and len(png) > 1000
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/", timeout=10
+        ) as r:
+            assert b"eqvio_tpu live" in r.read()
+    finally:
+        srv.close()
