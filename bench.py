@@ -288,12 +288,15 @@ def main():
         secondary["pallas_gate_error"] = type(e).__name__
 
     # regression-aware health (VERDICT r4 weak #8): the median headline must
-    # stay within 15% of the best committed prior round (tunnel spread is
-    # ~±8%, so 15% flags a real regression without tripping on noise)
+    # stay within 20% of the best committed prior round.  Calibration
+    # (round-5 measurements): tunnel/host load alone moved the median
+    # 59-71 on identical code, so sensitivity below ~20% is noise; the one
+    # real wall regression tested (fetch grouping, 51.4 median = -28%) is
+    # flagged at this threshold while load-noise runs are not.
     prior = _prior_round_best()
     if prior:
         secondary["prior_round_best_fps"] = prior
-        perf_ok = full_frame_fps >= 0.85 * prior
+        perf_ok = full_frame_fps >= 0.80 * prior
         secondary["perf_vs_prior_ok"] = bool(perf_ok)
         healthy = healthy and perf_ok
 
